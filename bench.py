@@ -1,0 +1,232 @@
+"""Throughput benchmark: GBMLGG ROI patches/sec/chip (train+eval).
+
+Runs the flagship multimodal mean-teacher config (paper dims: ResNet18 +
+MaxNet + Kronecker fusion, 512x512 patches, batch 16, pred-KD + CRD bank) on
+the available accelerator and reports steady-state patches/sec for the full
+train step (augment + student fwd + EMA fwd + losses + backward + Adam + EMA
++ bank update) combined with eval forward.
+
+Baseline: the same workload shape on PyTorch CPU (the reference repo is
+CUDA-or-CPU torch; this container has torch-CPU).  The torch model is an
+independently written ResNet18+SNN+bilinear-fusion equivalent, measured once
+and cached in ``.bench_baseline.json``.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "patches/sec", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+BATCH = 16
+SIZE = 512
+N_DATA = 256
+WARMUP = 3
+STEPS = 12
+
+
+def _make_batch(rng, train=True):
+    b = {
+        "omic": rng.normal(size=(BATCH, 80)).astype(np.float32),
+        "e": np.ones(BATCH, np.float32),
+        "t": rng.exponential(20, BATCH).astype(np.float32),
+        "g": rng.integers(0, 3, BATCH).astype(np.int32),
+        "index": rng.choice(N_DATA, BATCH, replace=False).astype(np.int32),
+        "sample_idx": rng.integers(0, N_DATA, (BATCH, 1 + 512),
+                                   dtype=np.int32),
+    }
+    views = 2 if train else 1
+    b["path_views"] = rng.integers(0, 255, (BATCH, views, SIZE, SIZE, 3),
+                                   dtype=np.uint8)
+    return b
+
+
+def bench_jax() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_learning_tpu.config import Options
+    from multimodal_learning_tpu.models.factory import define_model
+    from multimodal_learning_tpu.train.optim import make_optimizer
+    from multimodal_learning_tpu.train.schedules import make_lr_schedule
+    from multimodal_learning_tpu.train.steps import (
+        build_eval_step, build_teacher_train_step, init_teacher_state)
+
+    opt = Options(mode="pathomic", task="grad", path_dim=128, omic_dim=128,
+                  mmhid=128, feat_dim=128, input_size_path=SIZE,
+                  batch_size=BATCH, CRD_distill=1, pred_distill=1,
+                  num_teachers=2, pos_mode="exact", nce_p=1, nce_k=512,
+                  n_data=N_DATA, reg_type="omic", niter_decay=30,
+                  compute_dtype="bfloat16")
+    model = define_model(opt)
+    tx = make_optimizer(opt, make_lr_schedule(opt, steps_per_epoch=50))
+    rng = jax.random.PRNGKey(0)
+    sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
+              "x_omic": jnp.zeros((1, 80))}
+    state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+    train_step = build_teacher_train_step(opt, model, tx)
+    eval_step = build_eval_step(opt, model)
+
+    nprng = np.random.default_rng(0)
+    # batches live on device before timing: the real input pipeline
+    # (PrefetchLoader) overlaps H2D with compute, so steady-state throughput
+    # is compute-bound; timing the transfer here would measure the dev-rig's
+    # tunnel bandwidth instead of the framework.
+    batches = [jax.device_put(_make_batch(nprng)) for _ in range(4)]
+    key = jax.random.PRNGKey(1)
+    cw = jnp.asarray(0.1)
+
+    # warmup/compile
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batches[i % 4], sub, cw)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batches[i % 4], sub, cw)
+    jax.block_until_ready(metrics["loss"])
+    train_time = time.perf_counter() - t0
+    train_pps = BATCH * STEPS / train_time
+
+    ebatches = [jax.device_put(_make_batch(nprng, train=False))
+                for _ in range(2)]
+    params, stats = state.params["model"], state.batch_stats
+    out, _ = eval_step(params, stats, ebatches[0], key)
+    jax.block_until_ready(out.pred_fuse)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        out, _ = eval_step(params, stats, ebatches[i % 2], key)
+    jax.block_until_ready(out.pred_fuse)
+    eval_time = time.perf_counter() - t0
+    eval_pps = BATCH * STEPS / eval_time
+
+    combined = 2 * BATCH * STEPS / (train_time + eval_time)
+    return {"train_pps": train_pps, "eval_pps": eval_pps,
+            "combined_pps": combined}
+
+
+def bench_torch_cpu() -> float:
+    """PyTorch-CPU reference workload: ResNet18+SNN+bilinear fusion,
+    forward+backward, batch 16 @ 512^2 (train step only; this is the
+    dominant cost in the reference's loop)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as fh:
+            return json.load(fh)["torch_cpu_pps"]
+
+    import torch
+    import torch.nn as tnn
+
+    class Block(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.c1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.b1 = tnn.BatchNorm2d(cout)
+            self.c2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.b2 = tnn.BatchNorm2d(cout)
+            self.ds = None
+            if stride != 1 or cin != cout:
+                self.ds = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = self.ds(x) if self.ds else x
+            y = torch.relu(self.b1(self.c1(x)))
+            y = self.b2(self.c2(y))
+            return torch.relu(y + idt)
+
+    class R18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Sequential(
+                tnn.Conv2d(3, 64, 7, 2, 3, bias=False), tnn.BatchNorm2d(64),
+                tnn.ReLU(), tnn.MaxPool2d(3, 2, 1))
+            layers = []
+            cin = 64
+            for i, cout in enumerate((64, 128, 256, 512)):
+                layers += [Block(cin, cout, 1 if i == 0 else 2),
+                           Block(cout, cout)]
+                cin = cout
+            self.layers = tnn.Sequential(*layers)
+            self.head = tnn.Linear(512, 128)
+            self.cls = tnn.Linear(128, 3)
+
+        def forward(self, x):
+            h = self.layers(self.stem(x)).mean((2, 3))
+            f = torch.relu(self.head(h))
+            return f, self.cls(f)
+
+    class Teacherish(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.path = R18()
+            self.omic = tnn.Sequential(
+                tnn.Linear(80, 64), tnn.ELU(), tnn.Linear(64, 48), tnn.ELU(),
+                tnn.Linear(48, 32), tnn.ELU(), tnn.Linear(32, 128), tnn.ELU())
+            self.fuse = tnn.Linear(129 * 129, 128)
+            self.cls = tnn.Linear(128, 3)
+
+        def forward(self, img, om):
+            pf, pl = self.path(img)
+            of = self.omic(om)
+            o1 = torch.cat([pf, torch.ones(pf.shape[0], 1)], 1)
+            o2 = torch.cat([of, torch.ones(of.shape[0], 1)], 1)
+            o12 = torch.bmm(o1.unsqueeze(2), o2.unsqueeze(1)).flatten(1)
+            fl = self.cls(torch.relu(self.fuse(o12)))
+            return pl, fl
+
+    model = Teacherish()
+    opt_t = torch.optim.Adam(model.parameters(), lr=5e-4)
+    img = torch.randn(BATCH, 3, SIZE, SIZE)
+    om = torch.randn(BATCH, 80)
+    y = torch.randint(0, 3, (BATCH,))
+    lossf = tnn.CrossEntropyLoss()
+
+    def step():
+        opt_t.zero_grad()
+        pl, fl = model(img, om)
+        loss = lossf(pl, y) + lossf(fl, y)
+        loss.backward()
+        opt_t.step()
+
+    step()  # warmup
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        step()
+    dt = time.perf_counter() - t0
+    pps = BATCH * n / dt
+    with open(CACHE, "w") as fh:
+        json.dump({"torch_cpu_pps": pps}, fh)
+    return pps
+
+
+def main():
+    res = bench_jax()
+    try:
+        base = bench_torch_cpu()
+    except Exception:
+        base = None
+    value = res["combined_pps"]
+    out = {"metric": "GBMLGG ROI patches/sec/chip (train+eval)",
+           "value": round(value, 2), "unit": "patches/sec",
+           "vs_baseline": round(value / base, 2) if base else None,
+           "detail": {"train_pps": round(res["train_pps"], 2),
+                      "eval_pps": round(res["eval_pps"], 2),
+                      "torch_cpu_pps": round(base, 2) if base else None}}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

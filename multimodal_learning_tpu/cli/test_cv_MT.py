@@ -1,0 +1,75 @@
+"""Eval-only CV driver — reference ``MICCAI-2022/test_cv_MT.py``.
+
+Loads each fold's ``<model>_k_best.pt`` (or ``.pt``), runs test() and
+aggregates branch metrics.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from ._platform import apply_platform_override
+
+apply_platform_override()
+
+from ..config import parse_args
+from ..data.pipeline import Loader, PathomicDataset
+from ..data.splits import load_cv_splits, make_synthetic_splits
+from ..models.factory import define_model
+from ..train.loop import evaluate
+from ..train.steps import build_eval_step
+from ..utils.checkpoint import load_checkpoint
+
+
+def run_fold(opt, data, k, use_best=True):
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
+    suffix = "_best.pt" if use_best else ".pt"
+    path = os.path.join(ckpt_dir, f"{opt.model_name}_{k}{suffix}")
+    if not os.path.exists(path):
+        path = os.path.join(ckpt_dir, f"{opt.model_name}_{k}.pt")
+    ckpt = load_checkpoint(path)
+    model = define_model(opt)
+    eval_step = build_eval_step(opt, model)
+    split = data["cv_splits"][k]
+    test_ds = PathomicDataset(opt, split, "test", train=False)
+    loader = Loader(test_ds, opt.batch_size, shuffle=False, drop_last=False,
+                    n_views=1, workers=opt.host_workers)
+    return evaluate(opt, eval_step, ckpt["model_state_dict"],
+                    ckpt.get("batch_stats", {}), loader,
+                    jax.random.PRNGKey(opt.seed))
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    if opt.synthetic_data:
+        # same shape as the train drivers so checkpoints trained with
+        # --synthetic_data evaluate on the identical fabricated split
+        data = make_synthetic_splits(n_train=64, n_test=32,
+                                     roi_size=max(64, opt.input_size_path),
+                                     seed=opt.seed)
+    else:
+        data = load_cv_splits(os.path.join(
+            opt.dataroot, "splits_5cv_2022", "gbmlgg5cv_all_st_1_1_0.pkl"))
+    metrics = {"fuse": [], "path": [], "omic": []}
+    for k in sorted(data["cv_splits"].keys()):
+        res = run_fold(opt, data, k)
+        for name in metrics:
+            m = res.get(f"metrics_{name}")
+            if m is not None:
+                metrics[name].append(m)
+        print(f"fold {k}:",
+              {n: res.get(f"acc_{n}") for n in metrics
+               if res.get(f"acc_{n}") is not None})
+    for name, ms in metrics.items():
+        if ms:
+            arr = np.array(ms)
+            print(f"[{name}] AUC/AP/F1/F1-IV mean:", arr.mean(0),
+                  "std:", arr.std(0))
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

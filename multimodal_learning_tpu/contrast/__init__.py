@@ -1,0 +1,2 @@
+from .crd import (CRDBank, Embed, bank_update, contrast_loss,
+                  crd_scores, crd_scores_select, init_bank, set_z)

@@ -1,0 +1,147 @@
+"""On-device image augmentation (jitted; fuses into the train step).
+
+Replaces the reference's torchvision host-side transform pipeline
+(``data_loaders_MT.py:112-119``, ``:163-170``): RandomHorizontalFlip(0.5) ->
+RandomVerticalFlip(0.5) -> RandomCrop(512) -> ColorJitter(brightness=0.1,
+contrast=0.1, saturation=0.05, hue=0.01) -> ToTensor -> Normalize(+-0.5).
+
+TPU-first design: the random crop is a cheap host-side numpy slice in the
+loader (it shrinks the H2D transfer 4x for 1024^2 ROIs); flips, colour jitter
+and normalisation run on device over the whole uint8 batch and fuse with the
+first conv.  Randomness comes from explicit PRNG keys so the augmentation is
+reproducible and shards with the batch under pjit.
+
+ColorJitter parity: factors are drawn uniformly from [1-b, 1+b] etc. and the
+four ops are applied in a random order per batch, matching torchvision's
+sampling semantics (exact RNG streams differ; BASELINE targets metric parity,
+not bitwise parity).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _rgb_to_gray(x: jnp.ndarray) -> jnp.ndarray:
+    # ITU-R 601-2 luma, as PIL's convert("L") used by torchvision
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def _adjust_brightness(x, f):
+    return x * f
+
+
+def _adjust_contrast(x, f):
+    # blend with the mean grayscale value (torchvision semantics); x is one
+    # image [H, W, 3], gray [H, W]
+    mean = jnp.mean(_rgb_to_gray(x), axis=(-1, -2), keepdims=True)[..., None]
+    return x * f + mean * (1.0 - f)
+
+
+def _adjust_saturation(x, f):
+    gray = _rgb_to_gray(x)[..., None]
+    return x * f + gray * (1.0 - f)
+
+
+def _rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adjust_hue(x, shift):
+    h, s, v = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+    return _hsv_to_rgb((h + shift) % 1.0, s, v)
+
+
+def color_jitter(key: jax.Array, x: jnp.ndarray, brightness: float = 0.1,
+                 contrast: float = 0.1, saturation: float = 0.05,
+                 hue: float = 0.01) -> jnp.ndarray:
+    """x float in [0,1], shape [..., H, W, 3]."""
+    kb, kc, ks, kh, kperm = jax.random.split(key, 5)
+    fb = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+
+    ops = [lambda y: jnp.clip(_adjust_brightness(y, fb), 0.0, 1.0),
+           lambda y: jnp.clip(_adjust_contrast(y, fc), 0.0, 1.0),
+           lambda y: jnp.clip(_adjust_saturation(y, fs), 0.0, 1.0),
+           lambda y: _adjust_hue(y, fh)]
+    order = jax.random.permutation(kperm, 4)
+
+    def apply_op(y, op_idx):
+        return jax.lax.switch(op_idx, ops, y), None
+
+    y, _ = jax.lax.scan(apply_op, x, order)
+    return y
+
+
+def random_flips(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample independent H/V flips with p=0.5; x [B, H, W, C]."""
+    kh, kv = jax.random.split(key)
+    fh = jax.random.bernoulli(kh, 0.5, (x.shape[0],))
+    fv = jax.random.bernoulli(kv, 0.5, (x.shape[0],))
+    x = jnp.where(fh[:, None, None, None], x[:, :, ::-1, :], x)
+    x = jnp.where(fv[:, None, None, None], x[:, ::-1, :, :], x)
+    return x
+
+
+def normalize_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """ToTensor + Normalize((.5,.5,.5), (.5,.5,.5)): uint8 -> [-1, 1]."""
+    return x.astype(jnp.float32) / 127.5 - 1.0
+
+
+def augment_view(key: jax.Array, imgs_u8: jnp.ndarray,
+                 jitter: bool = True) -> jnp.ndarray:
+    """One augmented view: flips + per-sample colour jitter + normalise.
+
+    imgs_u8: [B, H, W, 3] uint8 (already random-cropped on host).
+    """
+    kf, kj = jax.random.split(key)
+    x = random_flips(kf, imgs_u8.astype(jnp.float32) / 255.0)
+    if jitter:
+        keys = jax.random.split(kj, x.shape[0])
+        x = jax.vmap(color_jitter)(keys, x)
+    return x * 2.0 - 1.0
+
+
+def augment_views(key: jax.Array, views_u8: jnp.ndarray,
+                  jitter: bool = True) -> jnp.ndarray:
+    """TransformTwice (``data_loaders_MT.py:263-270``): augment V host-cropped
+    views independently.  views_u8 [B, V, H, W, 3] -> float [B, V, H, W, 3]."""
+    b, v = views_u8.shape[0], views_u8.shape[1]
+    keys = jax.random.split(key, v)
+    out = [augment_view(keys[i], views_u8[:, i], jitter) for i in range(v)]
+    return jnp.stack(out, axis=1)

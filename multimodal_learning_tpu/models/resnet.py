@@ -1,0 +1,162 @@
+"""TPU-native ResNet pathology encoder (flax, NHWC).
+
+Capability parity with the reference encoder (``MICCAI-2022/resnets.py``):
+torchvision-style ResNet{18,34,50} trunk with the custom grading heads
+``fc_new1 = Linear(512*exp -> path_dim) + BN + ReLU`` and
+``fc_new2 = Linear(path_dim -> num_classes)`` (``resnets.py:165-169``),
+returning ``(feat_f3, features, hazard, pred)`` where ``feat_f3`` is the
+global-average-pooled layer-3 map (``resnets.py:234``).
+
+TPU-first design notes (not a translation):
+- NHWC layout; convolutions map straight onto the MXU.
+- activations run in ``compute_dtype`` (bfloat16 by default in recipes) while
+  parameters and BN statistics stay float32.
+- BatchNorm over a sharded batch is automatically global under jit-over-Mesh:
+  XLA inserts the cross-replica reductions, which supersedes
+  ``torch.nn.DataParallel``'s per-replica stats.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import apply_act, kaiming_normal_out, torch_linear_bias, torch_linear_default
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (``resnets.py:37-74``)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=kaiming_normal_out,
+                       dtype=self.dtype)
+        identity = x
+        y = conv(self.planes, (3, 3), (self.stride, self.stride),
+                 padding=1, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if self.downsample:
+            identity = conv(self.planes, (1, 1),
+                            (self.stride, self.stride), name="ds_conv")(x)
+            identity = self.norm(name="ds_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 / 3x3 / 1x1 bottleneck, ResNet v1.5 stride placement
+    (``resnets.py:77-123``)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=kaiming_normal_out,
+                       dtype=self.dtype)
+        identity = x
+        y = conv(self.planes, (1, 1), name="conv1")(x)
+        y = nn.relu(self.norm(name="bn1")(y))
+        y = conv(self.planes, (3, 3), (self.stride, self.stride),
+                 padding=1, name="conv2")(y)
+        y = nn.relu(self.norm(name="bn2")(y))
+        y = conv(self.planes * self.expansion, (1, 1), name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if self.downsample:
+            identity = conv(self.planes * self.expansion, (1, 1),
+                            (self.stride, self.stride), name="ds_conv")(x)
+            identity = self.norm(name="ds_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk + pathomic heads.
+
+    ``__call__(x, train)`` with ``x: [B, H, W, 3]`` returns
+    ``(feat_f3, features, hazard, pred)``:
+      feat_f3  [B, 256*exp]  layer-3 GAP feature (``resnets.py:234``)
+      features [B, path_dim] post-``fc_new1`` feature
+      hazard   [B, classes]  raw logits
+      pred     [B, classes]  activated output (log-probs for grading)
+    """
+    block: ModuleDef = BasicBlock
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    path_dim: int = 32
+    num_classes: int = 3
+    act_type: str = "LSM"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    kernel_init=kaiming_normal_out, dtype=self.dtype,
+                    name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        expansion = getattr(self.block, "expansion", 1) if self.block is Bottleneck else 1
+        feat_f3 = None
+        for i, n_blocks in enumerate(self.stage_sizes):
+            planes = 64 * (2 ** i)
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                in_ch = x.shape[-1]
+                out_ch = planes * (4 if self.block is Bottleneck else 1)
+                x = self.block(planes=planes, stride=stride,
+                               downsample=(stride != 1 or in_ch != out_ch),
+                               norm=norm, dtype=self.dtype,
+                               name=f"layer{i + 1}_{j}")(x)
+            if i == 2:  # layer3 GAP feature, resnets.py:234
+                feat_f3 = jnp.mean(x, axis=(1, 2))
+
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        # fc_new1: Linear -> BN1d -> ReLU (resnets.py:165-167)
+        features = nn.Dense(self.path_dim, kernel_init=torch_linear_default,
+                            bias_init=torch_linear_bias(x.shape[-1]),
+                            dtype=self.dtype, name="fc_new1")(x)
+        features = norm(name="fc_new1_bn")(features)
+        features = nn.relu(features)
+        hazard = nn.Dense(self.num_classes, kernel_init=torch_linear_default,
+                          bias_init=torch_linear_bias(self.path_dim),
+                          dtype=self.dtype, name="fc_new2")(features)
+        hazard = hazard.astype(jnp.float32)
+        pred = apply_act(self.act_type, hazard)
+        return (feat_f3.astype(jnp.float32), features.astype(jnp.float32),
+                hazard, pred)
+
+
+def ResNet18(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32):
+    """reference ``resnets.py:287-295``"""
+    return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2),
+                  path_dim=path_dim, num_classes=num_classes,
+                  act_type=act_type, dtype=dtype)
+
+
+def ResNet34(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32):
+    return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3),
+                  path_dim=path_dim, num_classes=num_classes,
+                  act_type=act_type, dtype=dtype)
+
+
+def ResNet50(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32):
+    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3),
+                  path_dim=path_dim, num_classes=num_classes,
+                  act_type=act_type, dtype=dtype)

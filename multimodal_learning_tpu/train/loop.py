@@ -1,0 +1,213 @@
+"""Teacher training/eval loops — reference ``train_test_MT.py`` train()/test()
+and the fold driver ``train_cv_MT.py``.
+
+The hot loop is one jitted step (see ``steps.py``); everything here is host
+orchestration: epoch scheduling, the CRD-weight drop at epoch 15
+(``train_test_MT.py:118-119``), patch-loader switch for the last 15 epochs
+(``:287-289``), best-checkpoint selection by fused test accuracy after epoch
+15 (``:295-307``), and metric aggregation.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import Loader, PathomicDataset, PrefetchLoader
+from ..eval.metrics import (accuracy_cox, concordance_index, cox_log_rank,
+                            grading_metrics, one_hot)
+from ..models.factory import define_model
+from ..utils.checkpoint import save_checkpoint
+from .optim import make_optimizer
+from .schedules import make_lr_schedule
+from .steps import build_eval_step, build_teacher_train_step, init_teacher_state
+
+
+def _sample_shapes(opt):
+    s = opt.input_size_path
+    shapes = {}
+    if opt.mode in ("path", "pathomic"):
+        shapes["x_path"] = jnp.zeros((1, s, s, 3), jnp.float32)
+    if opt.mode in ("omic", "pathomic"):
+        shapes["x_omic"] = jnp.zeros((1, opt.input_size_omic), jnp.float32)
+    return shapes
+
+
+def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
+    """reference ``test()`` (``train_test_MT.py:340-458``): accumulates
+    per-branch probabilities / risks, returns losses + metrics + the
+    ``pred_test`` list used by offline analysis."""
+    probs = {"fuse": [], "path": [], "omic": []}
+    losses = {"fuse": 0.0, "path": 0.0, "omic": 0.0}
+    gts, times, events = [], [], []
+    n_batches = 0
+    for batch in loader:
+        key, sub = jax.random.split(key)
+        out, parts = eval_step(params, batch_stats, batch, sub)
+        n_batches += 1
+        for name in probs:
+            pred = getattr(out, f"pred_{name}")
+            if pred is not None:
+                probs[name].append(np.asarray(pred))
+                losses[name] += float(parts[f"loss_{name}"])
+        gts.append(np.asarray(batch["g"]))
+        times.append(np.asarray(batch["t"]))
+        events.append(np.asarray(batch["e"]))
+
+    gt = np.concatenate(gts)
+    t_all = np.concatenate(times)
+    e_all = np.concatenate(events)
+    res: Dict = {"gt": gt, "n": len(gt)}
+    probs = {k: (np.concatenate(v) if v else None) for k, v in probs.items()}
+    res["probs"] = probs
+    for name in ("fuse", "path", "omic"):
+        res[f"loss_{name}"] = losses[name] / max(n_batches, 1)
+    res["loss"] = sum(losses.values()) / max(n_batches, 1)
+
+    if opt.task == "grad":
+        oh = one_hot(gt, opt.label_dim)
+        for name, p in probs.items():
+            if p is None:
+                continue
+            res[f"acc_{name}"] = float((np.argmax(p, 1) == gt).mean())
+            res[f"metrics_{name}"] = grading_metrics(oh, p)
+    else:
+        for name, p in probs.items():
+            if p is None:
+                continue
+            risk = p.reshape(-1)
+            res[f"cindex_{name}"] = concordance_index(t_all, -risk, e_all)
+        risk_main = (probs["fuse"] if probs["fuse"] is not None
+                     else next(p for p in probs.values() if p is not None))
+        risk_main = risk_main.reshape(-1)
+        res["pvalue"] = cox_log_rank(risk_main, e_all, t_all)
+        res["surv_acc"] = accuracy_cox(risk_main, e_all)
+    # pred_test layout parity (train_test_MT.py:452-453)
+    risk = {k: (p.reshape(-1) if (p is not None and opt.task == "surv")
+                else np.array([])) for k, p in probs.items()}
+    res["pred_test"] = [risk["fuse"], risk["path"], risk["omic"], t_all,
+                        e_all, probs["fuse"], probs["path"], probs["omic"],
+                        gt]
+    return res
+
+
+def train_teacher(opt, data: Dict, fold: int,
+                  patches_data: Optional[Dict] = None,
+                  log=print) -> Tuple[Dict, Dict]:
+    """One fold of teacher training.  Returns (final_eval, best_info)."""
+    split = data["cv_splits"][fold]
+    need_contrast = opt.CRD_distill == 1 or opt.distill == "crd"
+    train_ds = PathomicDataset(opt, split, "train", train=True,
+                               contrast=need_contrast)
+    test_ds = PathomicDataset(opt, split, "test", train=False)
+    train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
+                          drop_last=True, n_views=2,
+                          workers=opt.host_workers, seed=opt.seed + fold)
+    test_loader = Loader(test_ds, opt.batch_size, shuffle=False,
+                         drop_last=False, n_views=1,
+                         workers=opt.host_workers, seed=opt.seed)
+    patches_loader = None
+    if patches_data is not None:
+        psplit = patches_data["cv_splits"][fold]
+        patches_ds = PathomicDataset(opt, psplit, "test", train=False)
+        patches_loader = Loader(patches_ds, opt.batch_size, shuffle=False,
+                                drop_last=False, n_views=1,
+                                workers=opt.host_workers, seed=opt.seed)
+
+    n_data = len(train_ds)
+    opt = opt.replace(n_data=n_data)
+    steps_per_epoch = len(train_loader)
+    model = define_model(opt)
+    lr_schedule = make_lr_schedule(opt, steps_per_epoch)
+    tx = make_optimizer(opt, lr_schedule)
+
+    rng = jax.random.PRNGKey(opt.seed + fold)
+    rng, k_init = jax.random.split(rng)
+    state = init_teacher_state(opt, model, tx, k_init, n_data,
+                               _sample_shapes(opt))
+    train_step = build_teacher_train_step(opt, model, tx)
+    eval_step = build_eval_step(opt, model)
+
+    total_epochs = opt.niter + opt.niter_decay
+    best = {"acc": 0.0, "epoch": -1}
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
+    final_eval = None
+
+    for epoch in range(opt.epoch_count, total_epochs + 1):
+        crd_weight = 0.01 if epoch >= 15 else opt.CRD_weight
+        t0 = time.time()
+        agg: Dict[str, float] = {}
+        n_samples = 0
+        use_tsvd = opt.tSVD_loss and opt.mode == "pathomic"
+        for batch_idx, batch in enumerate(
+                PrefetchLoader(train_loader, depth=opt.prefetch_depth)):
+            if use_tsvd:
+                batch = dict(batch)
+                batch["tsvd_update"] = jnp.asarray(
+                    batch_idx % opt.aux_iter == 0)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub,
+                                        jnp.asarray(crd_weight))
+            n_samples += opt.batch_size
+            for k, v in metrics.items():
+                if k.startswith(("loss", "correct")):
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        dt = time.time() - t0
+        nb = max(steps_per_epoch, 1)
+
+        loader_for_eval = test_loader
+        if patches_loader is not None and epoch > total_epochs - 15:
+            loader_for_eval = patches_loader  # train_test_MT.py:287-289
+        rng, sub = jax.random.split(rng)
+        res = evaluate(opt, eval_step, state.params["model"],
+                       state.batch_stats, loader_for_eval, sub)
+        final_eval = res
+
+        if opt.task == "grad":
+            test_acc = res.get("acc_fuse", res.get("acc_path",
+                                                   res.get("acc_omic", 0.0)))
+        else:
+            test_acc = res.get("cindex_fuse", res.get("cindex_path",
+                                                      res.get("cindex_omic",
+                                                              0.0)))
+        if epoch > 15 and test_acc > best["acc"]:  # :295-307
+            best = {"acc": test_acc, "epoch": epoch}
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_best.pt"),
+                {"split": fold, "opt": opt, "epoch": total_epochs,
+                 "model_state_dict": state.params["model"],
+                 "batch_stats": state.batch_stats,
+                 "ema_model_state_dict": state.ema_params,
+                 "ema_batch_stats": state.ema_batch_stats,
+                 "metrics": res.get("metrics_fuse")})
+
+        if opt.verbose:
+            msg = (f"[fold {fold}] epoch {epoch}/{total_epochs} "
+                   f"loss {agg.get('loss', 0) / nb:.4f} "
+                   f"({n_samples / max(dt, 1e-9):.1f} samples/s)")
+            if opt.task == "grad":
+                for name in ("fuse", "path", "omic"):
+                    if f"acc_{name}" in res:
+                        msg += f" test_{name}_acc {res[f'acc_{name}']:.4f}"
+            else:
+                for name in ("fuse", "path", "omic"):
+                    if f"cindex_{name}" in res:
+                        msg += f" cindex_{name} {res[f'cindex_{name}']:.4f}"
+            log(msg)
+
+    # final fold checkpoint (train_cv_MT.py:119-130)
+    save_checkpoint(
+        os.path.join(ckpt_dir, f"{opt.model_name}_{fold}.pt"),
+        {"split": fold, "opt": opt, "epoch": total_epochs,
+         "model_state_dict": state.params["model"],
+         "batch_stats": state.batch_stats,
+         "ema_model_state_dict": state.ema_params,
+         "ema_batch_stats": state.ema_batch_stats,
+         "crd_params": {k: v for k, v in state.params.items()
+                        if k != "model"},
+         "metrics": final_eval.get("metrics_fuse") if final_eval else None})
+    return final_eval, best

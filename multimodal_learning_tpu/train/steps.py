@@ -1,0 +1,359 @@
+"""Jitted train/eval steps for the mean-teacher multimodal flow.
+
+One compiled program per step does: on-device augmentation of both views ->
+student forward -> EMA-teacher forward -> task losses + pred-KD + CRD bank
+lookup/update + SP/Orth -> backward -> Adam -> EMA update.  This replaces the
+reference hot loop ``train_test_MT.py:108-242`` (which round-trips the host
+between every stage) with a single XLA computation; under a data mesh the
+batch dimension shards and XLA inserts the psums.
+
+Branch availability follows ``opt.mode``:
+- pathomic: all three branches, KD across them (``train_test_MT.py:177-199``)
+- path / omic: single branch; EMA self-distillation still available
+  (num_teachers=1, which_teacher=self_EMA semantics).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from flax import struct
+
+from ..contrast import (Embed, contrast_loss, crd_scores, init_bank)
+from ..data.augment import augment_view, augment_views
+from ..losses import (cox_loss, distill_kl, l1_regularizer, nll_loss,
+                      orth_loss, pred_kd_loss, sp_loss)
+from ..lowrank import build_view_features, update_adj_tensor, update_aux
+from ..models.pathomic import PathomicOutput
+from .ema import update_ema
+from .state import TrainState
+
+
+@struct.dataclass
+class TsvdAux:
+    """ADMM auxiliary state for the M3LR t-SVD constraint
+    (``MIA 2022/train_test_tSVD.py:376-431``): recovered low-rank tensors for
+    both modalities, the growing penalty weight mu, and the latest TNN
+    diagnostics."""
+    aux1: jnp.ndarray   # [V, B, B]
+    aux2: jnp.ndarray
+    mu: jnp.ndarray
+    tnn1: jnp.ndarray
+    tnn2: jnp.ndarray
+
+
+def adapt_output(opt, raw) -> PathomicOutput:
+    """Normalise MaxNet/ResNet/Pathomic outputs to PathomicOutput."""
+    if isinstance(raw, PathomicOutput):
+        return raw
+    if opt.mode == "omic" or (isinstance(raw, tuple) and len(raw) == 3):
+        feat, hazard, pred = raw
+        return PathomicOutput(None, None, feat, None, None, None, hazard,
+                              None, None, pred)
+    f3, feat, hazard, pred = raw
+    return PathomicOutput(None, feat, None, f3, None, hazard, None,
+                          None, pred, None)
+
+
+def model_inputs(opt, batch, x_path=None):
+    kw = {}
+    if opt.mode in ("path", "pathomic"):
+        kw["x_path"] = x_path
+    if opt.mode in ("omic", "pathomic"):
+        kw["x_omic"] = batch["omic"]
+    if opt.mode == "pathomic":
+        return kw
+    # unimodal models take positional input
+    return kw
+
+
+def _apply(opt, model, params, batch_stats, batch, x_path, train, rng,
+           mutable):
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": rng} if rng is not None else None
+    if opt.mode == "pathomic":
+        return model.apply(variables, x_path=x_path, x_omic=batch["omic"],
+                           train=train, rngs=rngs,
+                           mutable=["batch_stats"] if mutable else False)
+    x = x_path if opt.mode == "path" else batch["omic"]
+    return model.apply(variables, x, train=train, rngs=rngs,
+                       mutable=["batch_stats"] if mutable else False)
+
+
+def task_losses(opt, out: PathomicOutput, batch) -> Tuple[jnp.ndarray, Dict]:
+    """3-branch NLL (grad) / Cox (surv) — ``train_test_MT.py:149-152,212-215``."""
+    zeros = jnp.asarray(0.0)
+    parts = {}
+    total = zeros
+    for name, pred in (("fuse", out.pred_fuse), ("path", out.pred_path),
+                       ("omic", out.pred_omic)):
+        if pred is None:
+            parts[f"loss_{name}"] = zeros
+            continue
+        if opt.task == "surv":
+            li = cox_loss(batch["t"], batch["e"], pred)
+        else:
+            li = nll_loss(pred, batch["g"])
+        parts[f"loss_{name}"] = li
+        total = total + li
+    return total, parts
+
+
+def pred_kd(opt, out: PathomicOutput, ema: PathomicOutput) -> jnp.ndarray:
+    """Mean-teacher prediction KD (``train_test_MT.py:177-199``)."""
+    t = opt.task
+    if opt.mode != "pathomic":
+        pred = out.pred_path if opt.mode == "path" else out.pred_omic
+        ema_pred = ema.pred_path if opt.mode == "path" else ema.pred_omic
+        return pred_kd_loss(pred, ema_pred, t)
+    kd_fuse = pred_kd_loss(out.pred_fuse, ema.pred_fuse, t)
+    if opt.num_teachers == 1:
+        kd_path = pred_kd_loss(out.pred_path, ema.pred_path, t)
+        kd_omic = pred_kd_loss(out.pred_omic, ema.pred_omic, t)
+    elif opt.num_teachers == 2:
+        kd_path = (pred_kd_loss(out.pred_path, ema.pred_path, t)
+                   + pred_kd_loss(out.pred_path, ema.pred_fuse, t)) / 2.0
+        kd_omic = (pred_kd_loss(out.pred_omic, ema.pred_omic, t)
+                   + pred_kd_loss(out.pred_omic, ema.pred_fuse, t)) / 2.0
+    elif opt.num_teachers == 3:
+        kd_path = (pred_kd_loss(out.pred_path, ema.pred_path, t)
+                   + pred_kd_loss(out.pred_path, ema.pred_fuse, t)
+                   + pred_kd_loss(out.pred_path, ema.pred_omic, t)) / 3.0
+        kd_omic = (pred_kd_loss(out.pred_omic, ema.pred_omic, t)
+                   + pred_kd_loss(out.pred_omic, ema.pred_fuse, t)
+                   + pred_kd_loss(out.pred_omic, ema.pred_path, t)) / 3.0
+    else:
+        raise NotImplementedError(f"num_teachers={opt.num_teachers}")
+    return kd_fuse + kd_path + kd_omic
+
+
+def _branch_feat(opt, out: PathomicOutput):
+    if opt.mode == "pathomic":
+        return out.fuse_feat
+    return out.path_feat if opt.mode == "path" else out.omic_feat
+
+
+def init_teacher_state(opt, model, tx, rng, n_data: int,
+                       sample_batch) -> TrainState:
+    """Initialise params / EMA / banks / embeds for the teacher flow."""
+    k_model, k_drop, k_bank, k_embed = jax.random.split(rng, 4)
+    if opt.mode == "pathomic":
+        variables = model.init({"params": k_model, "dropout": k_drop},
+                               x_path=sample_batch.get("x_path"),
+                               x_omic=sample_batch.get("x_omic"), train=True)
+    else:
+        x = (sample_batch["x_path"] if opt.mode == "path"
+             else sample_batch["x_omic"])
+        variables = model.init({"params": k_model, "dropout": k_drop},
+                               x, train=True)
+    params = {"model": variables["params"]}
+    batch_stats = variables.get("batch_stats", {})
+    banks = None
+    if opt.CRD_distill == 1:
+        embed = Embed(opt.feat_dim)
+        feat_width = opt.mmhid if opt.mode == "pathomic" else (
+            opt.path_dim if opt.mode == "path" else opt.omic_dim)
+        dummy = jnp.zeros((1, feat_width))
+        ks, kt = jax.random.split(k_embed)
+        params["crd_fuse_s"] = embed.init(ks, dummy)["params"]
+        params["crd_fuse_t"] = embed.init(kt, dummy)["params"]
+        banks = {"fuse": init_bank(k_bank, n_data, opt.feat_dim)}
+    if opt.tSVD_loss and opt.mode == "pathomic":
+        b = opt.batch_size
+        banks = banks or {}
+        # two distinct buffers — sharing one would break donation
+        banks["tsvd"] = TsvdAux(aux1=jnp.zeros((opt.n_views, b, b)),
+                                aux2=jnp.zeros((opt.n_views, b, b)),
+                                mu=jnp.asarray(opt.mu),
+                                tnn1=jnp.asarray(0.0),
+                                tnn2=jnp.asarray(0.0))
+    opt_state = tx.init(params)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # fresh buffers —
+    # aliasing params would break buffer donation in the jitted step
+    return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      ema_params=copy(params["model"]),
+                      ema_batch_stats=copy(batch_stats), banks=banks)
+
+
+def build_teacher_train_step(opt, model, tx):
+    """Returns jitted ``train_step(state, batch, key, crd_weight) ->
+    (state, metrics)``."""
+    embed = Embed(opt.feat_dim)
+    use_images = opt.mode in ("path", "pathomic")
+
+    def train_step(state: TrainState, batch, key, crd_weight):
+        k_aug, k_drop, k_drop_ema = jax.random.split(key, 3)
+        if use_images:
+            views = augment_views(k_aug, batch["path_views"])
+            x1, x2 = views[:, 0], views[:, 1]
+        else:
+            x1 = x2 = None
+
+        # EMA teacher forward (train mode: BN batch stats + its own stats
+        # advance — reference runs ema_model un-eval'd under no_grad,
+        # train_test_MT.py:143-145)
+        ema_raw, ema_mut = _apply(opt, model, state.ema_params,
+                                  state.ema_batch_stats, batch, x2,
+                                  train=True, rng=k_drop_ema, mutable=True)
+        ema_out = adapt_output(opt, jax.tree_util.tree_map(
+            jax.lax.stop_gradient, ema_raw))
+
+        def loss_fn(params):
+            raw, mut = _apply(opt, model, params["model"], state.batch_stats,
+                              batch, x1, train=True, rng=k_drop, mutable=True)
+            out = adapt_output(opt, raw)
+            loss_task, parts = task_losses(opt, out, batch)
+            metrics = dict(parts)
+
+            loss = opt.lambda_nll * loss_task if opt.task == "grad" \
+                else opt.lambda_cox * loss_task
+            loss = loss + opt.lambda_reg * l1_regularizer(
+                params["model"], opt.reg_type)
+
+            new_banks = state.banks
+            if opt.CRD_distill == 1:
+                f_s = embed.apply({"params": params["crd_fuse_s"]},
+                                  _branch_feat(opt, out))
+                f_t = embed.apply({"params": params["crd_fuse_t"]},
+                                  jax.lax.stop_gradient(
+                                      _branch_feat(opt, ema_out)))
+                out_s, out_t, bank = crd_scores(
+                    state.banks["fuse"], f_s, f_t, batch["index"],
+                    batch["sample_idx"], T=opt.nce_t, momentum=opt.nce_m)
+                # v1 expects a single positive in slot 0; with multi_pos
+                # sampling the P positives are averaged (ContrastLoss_v2
+                # semantics) instead of the reference's shape crash.
+                n_pos = (1 if opt.task == "surv"
+                         or opt.pos_mode in ("exact", "relax") else opt.nce_p)
+                loss_crd = (contrast_loss(out_s, opt.n_data, n_pos=n_pos)
+                            + contrast_loss(out_t, opt.n_data, n_pos=n_pos))
+                loss = loss + crd_weight * loss_crd
+                metrics["loss_CRD"] = crd_weight * loss_crd
+                new_banks = dict(state.banks)
+                new_banks["fuse"] = bank
+            else:
+                metrics["loss_CRD"] = jnp.asarray(0.0)
+
+            if opt.pred_distill == 1:
+                loss_kd = opt.KD_weight * pred_kd(opt, out, ema_out)
+                loss = loss + loss_kd
+                metrics["loss_KD"] = loss_kd
+            else:
+                metrics["loss_KD"] = jnp.asarray(0.0)
+
+            if opt.SP_distill == 1 and opt.mode == "pathomic":
+                loss_sp = opt.SP_weight * (
+                    sp_loss(out.fuse_feat, ema_out.fuse_feat)
+                    + sp_loss(out.path_feat, ema_out.path_feat)
+                    + sp_loss(out.omic_feat, ema_out.omic_feat)) / 3.0
+                loss = loss + loss_sp
+                metrics["loss_SP"] = loss_sp
+            else:
+                metrics["loss_SP"] = jnp.asarray(0.0)
+
+            if opt.orth_loss and opt.mode == "pathomic":
+                loss = loss + orth_loss(out.path_feat, out.omic_feat)
+
+            if opt.tSVD_loss and opt.mode == "pathomic":
+                # M3LR low-rank constraint (train_test_tSVD.py:300-431)
+                feats1, feats2 = build_view_features(
+                    opt.n_views, out.fuse_feat, ema_out.fuse_feat,
+                    out.path_feat, ema_out.path_feat,
+                    out.omic_feat, ema_out.omic_feat)
+                adj1 = update_adj_tensor(feats1)   # [V, B, B]
+                adj2 = update_adj_tensor(feats2)
+                tsvd: TsvdAux = state.banks["tsvd"]
+
+                def do_update(t):
+                    # ADMM aux refresh every aux_iter batches (:376-413)
+                    a1, tnn1 = update_aux(
+                        jnp.transpose(jax.lax.stop_gradient(adj1), (1, 2, 0)),
+                        opt.Lambda_global / t.mu)
+                    a2, tnn2 = update_aux(
+                        jnp.transpose(jax.lax.stop_gradient(adj2), (1, 2, 0)),
+                        opt.Lambda_global / t.mu)
+                    new_mu = jnp.minimum(t.mu * opt.pho, opt.max_mu)
+                    return TsvdAux(jnp.transpose(a1, (2, 0, 1)),
+                                   jnp.transpose(a2, (2, 0, 1)),
+                                   new_mu, tnn1, tnn2)
+
+                tsvd = jax.lax.cond(batch["tsvd_update"], do_update,
+                                    lambda t: t, tsvd)
+                frob = lambda a, x: jnp.sum(
+                    jnp.sum((a - x) ** 2, axis=(1, 2)))
+                if opt.tSVD_mode == "path":
+                    loss_tsvd = tsvd.mu / 2.0 * frob(adj1, tsvd.aux1)
+                elif opt.tSVD_mode == "omic":
+                    loss_tsvd = tsvd.mu / 2.0 * frob(adj2, tsvd.aux2)
+                else:  # pathomic
+                    loss_tsvd = tsvd.mu / 2.0 * (frob(adj1, tsvd.aux1)
+                                                 + frob(adj2, tsvd.aux2))
+                loss = loss + loss_tsvd
+                metrics["loss_tsvd"] = loss_tsvd
+                metrics["tnn_path"] = tsvd.tnn1
+                metrics["tnn_omic"] = tsvd.tnn2
+                new_banks = dict(new_banks or {})
+                new_banks["tsvd"] = tsvd
+
+            metrics["loss"] = loss
+            return loss, (metrics, mut.get("batch_stats", {}), new_banks, out)
+
+        grads, (metrics, new_stats, new_banks, out) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = update_ema(new_params["model"], state.ema_params,
+                             opt.ema_decay, state.step)
+
+        # train accuracy counts (train_test_MT.py:254-260) / risk outputs
+        if opt.task == "grad":
+            for name, pred in (("fuse", out.pred_fuse),
+                               ("path", out.pred_path),
+                               ("omic", out.pred_omic)):
+                if pred is not None:
+                    metrics[f"correct_{name}"] = jnp.sum(
+                        jnp.argmax(pred, axis=1) == batch["g"])
+        else:
+            metrics["risk_fuse"] = (out.pred_fuse.reshape(-1)
+                                    if out.pred_fuse is not None else 0)
+            metrics["risk_path"] = (out.pred_path.reshape(-1)
+                                    if out.pred_path is not None else 0)
+            metrics["risk_omic"] = (out.pred_omic.reshape(-1)
+                                    if out.pred_omic is not None else 0)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, ema_params=new_ema,
+            ema_batch_stats=ema_mut.get("batch_stats", {}),
+            banks=new_banks)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_eval_step(opt, model):
+    """Jitted eval forward: returns branch predictions + per-batch loss sums
+    (reference ``test()``, ``train_test_MT.py:340-458``)."""
+
+    def eval_step(params, batch_stats, batch, key):
+        if opt.mode in ("path", "pathomic"):
+            x = batch["path_views"][:, 0]
+            if opt.test_augment:
+                x = augment_view(key, x)
+            else:
+                x = x.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            x = None
+        raw = _apply(opt, model, params, batch_stats, batch, x,
+                     train=False, rng=None, mutable=False)
+        out = adapt_output(opt, raw)
+        loss_task, parts = task_losses(opt, out, batch)
+        return out, parts
+
+    return jax.jit(eval_step)

