@@ -37,9 +37,18 @@ def run_fold(opt, data, k, use_best=True):
     test_ds = PathomicDataset(opt, split, "test", train=False)
     loader = Loader(test_ds, opt.batch_size, shuffle=False, drop_last=False,
                     n_views=1, workers=opt.host_workers)
-    return evaluate(opt, eval_step, ckpt["model_state_dict"],
-                    ckpt.get("batch_stats", {}), loader,
-                    jax.random.PRNGKey(opt.seed))
+    res = evaluate(opt, eval_step, ckpt["model_state_dict"],
+                   ckpt.get("batch_stats", {}), loader,
+                   jax.random.PRNGKey(opt.seed))
+    # dump predictions for offline patient-level analysis
+    # (reference pickles pred_test per fold, train_cv_MT.py:134-135)
+    from ..eval.analysis import save_pred_test
+    patnames = list(split["test"].get("x_patname", []))
+    save_pred_test(os.path.join(ckpt_dir,
+                                f"{opt.model_name}_{k}_pred_test.pkl"),
+                   {"pred_test": res["pred_test"], "probs": res["probs"],
+                    "gt": res["gt"], "patnames": patnames})
+    return res
 
 
 def main(argv=None):

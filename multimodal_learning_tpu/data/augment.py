@@ -145,3 +145,30 @@ def augment_views(key: jax.Array, views_u8: jnp.ndarray,
     keys = jax.random.split(key, v)
     out = [augment_view(keys[i], views_u8[:, i], jitter) for i in range(v)]
     return jnp.stack(out, axis=1)
+
+
+def augment_views_with_mask(key: jax.Array, views_u8: jnp.ndarray,
+                            sp_mask: jnp.ndarray, jitter: bool = True):
+    """CLAT stage-1 paired augmentation: view 0's flips are shared with its
+    SLIC label map so the mask tracks the image (the reference's paired
+    functional transforms, ``data_loaders_MT_SP.py:158-212``); remaining
+    views are augmented independently.
+
+    views_u8 [B, V, H, W, 3], sp_mask [B, H, W] int -> (views_f, mask)."""
+    b, v = views_u8.shape[0], views_u8.shape[1]
+    keys = jax.random.split(key, v + 1)
+    kf, kj = jax.random.split(keys[0])
+    kh, kv = jax.random.split(kf)
+    fh = jax.random.bernoulli(kh, 0.5, (b,))
+    fv = jax.random.bernoulli(kv, 0.5, (b,))
+    x0 = views_u8[:, 0].astype(jnp.float32) / 255.0
+    x0 = jnp.where(fh[:, None, None, None], x0[:, :, ::-1, :], x0)
+    x0 = jnp.where(fv[:, None, None, None], x0[:, ::-1, :, :], x0)
+    mask = jnp.where(fh[:, None, None], sp_mask[:, :, ::-1], sp_mask)
+    mask = jnp.where(fv[:, None, None], mask[:, ::-1, :], mask)
+    if jitter:
+        x0 = jax.vmap(color_jitter)(jax.random.split(kj, b), x0)
+    out = [x0 * 2.0 - 1.0]
+    for i in range(1, v):
+        out.append(augment_view(keys[i], views_u8[:, i], jitter))
+    return jnp.stack(out, axis=1), mask

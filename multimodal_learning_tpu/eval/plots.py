@@ -1,0 +1,103 @@
+"""Survival / grading plots — reference ``MICCAI-2022/utils.py:688-909``
+(Kaplan-Meier curves, hazard swarm/box plots, AUROC curves).
+
+All plotting uses the Agg backend and writes files; the KM estimator and
+log-rank annotation are self-contained (the reference pulls them from
+lifelines, which is not in this image).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from .metrics import cox_log_rank  # noqa: E402
+
+
+def km_curve(survtime: np.ndarray, censor: np.ndarray):
+    """Kaplan-Meier estimator: returns (times, survival probability)."""
+    order = np.argsort(survtime)
+    t, e = np.asarray(survtime)[order], np.asarray(censor)[order]
+    times, probs = [0.0], [1.0]
+    s = 1.0
+    n = len(t)
+    at_risk = n
+    i = 0
+    while i < n:
+        tt = t[i]
+        d = 0
+        c = 0
+        while i < n and t[i] == tt:
+            d += int(e[i] == 1)
+            c += int(e[i] == 0)
+            i += 1
+        if d > 0 and at_risk > 0:
+            s *= 1.0 - d / at_risk
+            times.append(tt)
+            probs.append(s)
+        at_risk -= d + c
+    return np.asarray(times), np.asarray(probs)
+
+
+def make_kaplan_meier_plot(hazards: np.ndarray, survtime: np.ndarray,
+                           censor: np.ndarray, out_path: str,
+                           percentiles: Sequence[float] = (33, 66),
+                           title: str = "Kaplan-Meier") -> None:
+    """Stratify patients by hazard percentiles and plot KM curves per
+    stratum (``makeKaplanMeierPlot``, ``utils.py:688-744``)."""
+    cuts = np.percentile(hazards, percentiles)
+    groups = np.digitize(hazards, cuts)
+    labels = ["low", "mid", "high"][:len(percentiles) + 1]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for g, lab in enumerate(labels):
+        m = groups == g
+        if m.sum() == 0:
+            continue
+        t, s = km_curve(survtime[m], censor[m])
+        ax.step(t, s, where="post", label=f"{lab} (n={int(m.sum())})")
+    p = cox_log_rank(hazards, censor, survtime)
+    ax.set_xlabel("time (months)")
+    ax.set_ylabel("survival probability")
+    ax.set_title(f"{title}  (log-rank p={p:.2e})")
+    ax.legend()
+    ax.set_ylim(0, 1.02)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def make_hazard_box_plot(hazards: np.ndarray, grades: np.ndarray,
+                         out_path: str, title: str = "hazard by grade"):
+    """Hazard distribution per histological grade
+    (``makeHazardBoxPlot``, ``utils.py:778-819``)."""
+    fig, ax = plt.subplots(figsize=(5, 4))
+    groups = [hazards[grades == g] for g in np.unique(grades)]
+    ax.boxplot(groups, labels=[f"grade {int(g)}" for g in np.unique(grades)])
+    ax.set_ylabel("predicted hazard")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def make_auroc_plot(y_onehot: np.ndarray, probs_by_model: dict,
+                    out_path: str, title: str = "micro-average ROC"):
+    """Micro-average ROC overlay for several models
+    (``makeAUROCPlot``, ``utils.py:821-909``)."""
+    from sklearn.metrics import auc, roc_curve
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for name, probs in probs_by_model.items():
+        fpr, tpr, _ = roc_curve(y_onehot.ravel(), np.asarray(probs).ravel())
+        ax.plot(fpr, tpr, label=f"{name} (AUC={auc(fpr, tpr):.3f})")
+    ax.plot([0, 1], [0, 1], "k--", lw=0.8)
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("true positive rate")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)

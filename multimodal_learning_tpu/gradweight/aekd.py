@@ -87,30 +87,60 @@ def aekd_v2_gate(kd_grads: Sequence[jnp.ndarray], ce_grad: jnp.ndarray,
     return jnp.sum(gate * jnp.stack(kd_losses))
 
 
-def momentum_scale_update(scale: jnp.ndarray, ema_scale: jnp.ndarray,
-                          momentum: float, thresh: float,
-                          use_thresh: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """MIA-2022 ``momentum_AEKD_loss`` (``..._v2.py:89-132``): EMA the scale
-    across steps; optionally binarise by threshold on the normalised scale.
-    Returns (weights_to_use, new_ema_scale)."""
-    new_ema = ema_scale * momentum + scale * (1.0 - momentum)
+def momentum_aekd_scale(grads: Sequence[jnp.ndarray],
+                        ema_scale: jnp.ndarray, grads_m: float,
+                        thresh: float, use_thresh: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MIA-2022 ``momentum_AEKD_loss`` (``..._v2.py:89-132``): cosine Gram of
+    the feature gradients (KD losses first, CE last), optionally binarised
+    entrywise by ``thresh``, row-summed, then EMA'd across steps with
+    momentum ``grads_m``.  Returns (mo_scale, mo_scale) — the same EMA is
+    both the weights and the carried state."""
+    G = jnp.stack([g.reshape(-1) for g in grads])
+    norms = jnp.linalg.norm(G, axis=1, keepdims=True)
+    rel = (G @ G.T) / jnp.maximum(norms @ norms.T, 1e-12)
     if use_thresh:
-        norm = new_ema / jnp.maximum(jnp.sum(new_ema), 1e-12)
-        weights = (norm > thresh).astype(jnp.float32)
+        rel = (rel > thresh).astype(jnp.float32)
+    scale = jnp.sum(rel, axis=1)
+    new_ema = grads_m * ema_scale + (1.0 - grads_m) * scale
+    new_ema = jax.lax.stop_gradient(new_ema)
+    return new_ema, new_ema
+
+
+def gk_refine_param_space(loss_fns, params, exclude: str = "fc_new2"
+                          ) -> jnp.ndarray:
+    """MIA-2022 parameter-space ``GK_refine`` (``..._v2.py:50-86``): each
+    loss's gradient wrt all student params except the classifier head,
+    cosine-Gram row sums.  loss_fns: callables params -> scalar, KD losses
+    first, CE last.  Returns scale [len(loss_fns)]."""
+
+    def flat_grad(fn):
+        g = jax.grad(fn)(params)
+        leaves = [(path, leaf) for path, leaf in
+                  jax.tree_util.tree_leaves_with_path(g)]
+        kept = [leaf.reshape(-1) for path, leaf in leaves
+                if exclude not in jax.tree_util.keystr(path)]
+        return jnp.concatenate(kept)
+
+    G = jnp.stack([jax.lax.stop_gradient(flat_grad(fn)) for fn in loss_fns])
+    norms = jnp.linalg.norm(G, axis=1, keepdims=True)
+    rel = (G @ G.T) / jnp.maximum(norms @ norms.T, 1e-12)
+    return jax.lax.stop_gradient(jnp.sum(rel, axis=1))
+
+
+def gk_refine_thresh_weights(all_grads: Sequence[jnp.ndarray],
+                             grads_thresh: float,
+                             use_thresh: bool = True) -> jnp.ndarray:
+    """S2 ``GK_refine_thresh`` (``stage2 ...distill.py:80-128``): per-sample
+    pairwise cosine matrix over ALL loss gradients (KD losses first, CE
+    last); each loss's weight is the row sum, binarised by ``grads_thresh``
+    when ``use_thresh`` else ReLU-summed.  Returns [B, L] (caller drops the
+    CE column, ``:117``)."""
+    G = jnp.stack(all_grads, axis=1)                          # [B, L, D]
+    Gn = G / jnp.maximum(jnp.linalg.norm(G, axis=2, keepdims=True), 1e-12)
+    sim = jnp.einsum("bld,bmd->blm", Gn, Gn)                  # [B, L, L]
+    if use_thresh:
+        contrib = (sim > grads_thresh).astype(jnp.float32)
     else:
-        weights = new_ema
-    return jax.lax.stop_gradient(weights), jax.lax.stop_gradient(new_ema)
-
-
-def gk_refine_thresh_weights(kd_grads: Sequence[jnp.ndarray],
-                             ce_grad: jnp.ndarray,
-                             grads_thresh: float) -> jnp.ndarray:
-    """S2 ``GK_refine_thresh`` (``stage2 ...distill.py:81-128``): per-sample
-    cosine between each KD loss's feature gradient and the CE gradient;
-    weight = 1 where cos > thresh else 0.  Returns [B, n_kd]."""
-    K = jnp.stack(kd_grads, axis=1)                           # [B, n, D]
-    num = jnp.einsum("bnd,bd->bn", K, ce_grad)
-    den = (jnp.linalg.norm(K, axis=2)
-           * jnp.linalg.norm(ce_grad, axis=1, keepdims=True))
-    sim = num / jnp.maximum(den, 1e-12)
-    return jax.lax.stop_gradient((sim > grads_thresh).astype(jnp.float32))
+        contrib = jnp.maximum(sim, 0.0)
+    return jax.lax.stop_gradient(jnp.sum(contrib, axis=2))

@@ -22,6 +22,7 @@ from ..eval.metrics import (accuracy_cox, concordance_index, cox_log_rank,
                             grading_metrics, one_hot)
 from ..models.factory import define_model
 from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricsLogger
 from .optim import make_optimizer
 from .schedules import make_lr_schedule
 from .steps import build_eval_step, build_teacher_train_step, init_teacher_state
@@ -101,11 +102,16 @@ def train_teacher(opt, data: Dict, fold: int,
     """One fold of teacher training.  Returns (final_eval, best_info)."""
     split = data["cv_splits"][fold]
     need_contrast = opt.CRD_distill == 1 or opt.distill == "crd"
-    train_ds = PathomicDataset(opt, split, "train", train=True,
-                               contrast=need_contrast)
+    use_masking = bool(opt.masking) and opt.mode == "pathomic"
+    train_ds = PathomicDataset(
+        opt, split, "train", train=True, contrast=need_contrast,
+        superpixels=opt.num_superpixels if use_masking else 0)
     test_ds = PathomicDataset(opt, split, "test", train=False)
+    # stage-1 masking needs 4 views: student, EMA, and the two extra EMA
+    # views distilled against the masked student forwards
+    # (data_loaders_MT_SP.py:446-453)
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
-                          drop_last=True, n_views=2,
+                          drop_last=True, n_views=4 if use_masking else 2,
                           workers=opt.host_workers, seed=opt.seed + fold)
     test_loader = Loader(test_ds, opt.batch_size, shuffle=False,
                          drop_last=False, n_views=1,
@@ -130,11 +136,14 @@ def train_teacher(opt, data: Dict, fold: int,
     state = init_teacher_state(opt, model, tx, k_init, n_data,
                                _sample_shapes(opt))
     train_step = build_teacher_train_step(opt, model, tx)
+    masked_step = (build_teacher_train_step(opt, model, tx, masking=True)
+                   if use_masking else None)
     eval_step = build_eval_step(opt, model)
 
     total_epochs = opt.niter + opt.niter_decay
     best = {"acc": 0.0, "epoch": -1}
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
+    mlog = MetricsLogger(ckpt_dir, run_name=f"teacher_fold{fold}")
     final_eval = None
 
     for epoch in range(opt.epoch_count, total_epochs + 1):
@@ -143,6 +152,9 @@ def train_teacher(opt, data: Dict, fold: int,
         agg: Dict[str, float] = {}
         n_samples = 0
         use_tsvd = opt.tSVD_loss and opt.mode == "pathomic"
+        # masking kicks in after start_epoch (train_test_MT_SP_Masking.py:199)
+        step_fn = (masked_step if use_masking and epoch > opt.start_epoch
+                   else train_step)
         for batch_idx, batch in enumerate(
                 PrefetchLoader(train_loader, depth=opt.prefetch_depth)):
             if use_tsvd:
@@ -150,8 +162,8 @@ def train_teacher(opt, data: Dict, fold: int,
                 batch["tsvd_update"] = jnp.asarray(
                     batch_idx % opt.aux_iter == 0)
             rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub,
-                                        jnp.asarray(crd_weight))
+            state, metrics = step_fn(state, batch, sub,
+                                     jnp.asarray(crd_weight))
             n_samples += opt.batch_size
             for k, v in metrics.items():
                 if k.startswith(("loss", "correct")):
@@ -185,6 +197,12 @@ def train_teacher(opt, data: Dict, fold: int,
                  "ema_batch_stats": state.ema_batch_stats,
                  "metrics": res.get("metrics_fuse")})
 
+        mlog.log({"epoch": epoch,
+                  "train_loss": agg.get("loss", 0) / nb,
+                  "samples_per_s": n_samples / max(dt, 1e-9),
+                  **{f"test_{k}": v for k, v in res.items()
+                     if k.startswith(("acc_", "cindex_", "loss"))
+                     and np.isscalar(v)}})
         if opt.verbose:
             msg = (f"[fold {fold}] epoch {epoch}/{total_epochs} "
                    f"loss {agg.get('loss', 0) / nb:.4f} "

@@ -180,15 +180,32 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
                       ema_batch_stats=copy(batch_stats), banks=banks)
 
 
-def build_teacher_train_step(opt, model, tx):
+def build_teacher_train_step(opt, model, tx, masking: bool = False):
     """Returns jitted ``train_step(state, batch, key, crd_weight) ->
-    (state, metrics)``."""
+    (state, metrics)``.
+
+    ``masking=True`` builds the CLAT stage-1 variant
+    (``train_test_MT_SP_Masking.py:190-220``): the batch carries 4 views +
+    a SLIC label map; superpixel/omic saliency masks are computed on-device
+    and two masked student views are distilled against EMA forwards on the
+    two extra views.  The flag is static — the driver selects the masked
+    step once ``epoch > start_epoch``.
+    """
+    from ..data.augment import augment_views_with_mask
+    from ..masking.superpixel import superpixel_attention_mask
+
     embed = Embed(opt.feat_dim)
     use_images = opt.mode in ("path", "pathomic")
 
     def train_step(state: TrainState, batch, key, crd_weight):
-        k_aug, k_drop, k_drop_ema = jax.random.split(key, 3)
-        if use_images:
+        k_aug, k_drop, k_drop_ema, k_drop_m = jax.random.split(key, 4)
+        sp_mask = None
+        if masking:
+            views, sp_mask = augment_views_with_mask(
+                k_aug, batch["path_views"], batch["sp_mask"])
+            x1, x2 = views[:, 0], views[:, 1]
+            xm1, xm2 = views[:, 2], views[:, 3]
+        elif use_images:
             views = augment_views(k_aug, batch["path_views"])
             x1, x2 = views[:, 0], views[:, 1]
         else:
@@ -258,6 +275,54 @@ def build_teacher_train_step(opt, model, tx):
 
             if opt.orth_loss and opt.mode == "pathomic":
                 loss = loss + orth_loss(out.path_feat, out.omic_feat)
+
+            if masking:
+                # CLAT stage-1 comprehensive learning: saliency masks from
+                # an eval-mode input-gradient pass (:62-71), masked student
+                # views distilled against EMA forwards on the extra views
+                # (:198-220).
+                def cost_fn(xp, xo):
+                    o = model.apply({"params": params["model"],
+                                     "batch_stats": state.batch_stats},
+                                    x_path=xp, x_omic=xo, train=False)
+                    return nll_loss(o.pred_fuse, batch["g"])
+
+                path_mask, omic_mask = superpixel_attention_mask(
+                    cost_fn, x1, batch["omic"], sp_mask,
+                    opt.num_superpixels, opt.Path_K, opt.Omic_K)
+                x_path_masked = x1 * (1.0 - path_mask[..., None])
+                x_omic_masked = batch["omic"] * (1.0 - omic_mask)
+                km1, km2 = jax.random.split(k_drop_m)
+                out_m1 = adapt_output(opt, model.apply(
+                    {"params": params["model"],
+                     "batch_stats": state.batch_stats},
+                    x_path=x_path_masked, x_omic=batch["omic"], train=True,
+                    rngs={"dropout": km1}, mutable=["batch_stats"])[0])
+                out_m2 = adapt_output(opt, model.apply(
+                    {"params": params["model"],
+                     "batch_stats": state.batch_stats},
+                    x_path=x1, x_omic=x_omic_masked, train=True,
+                    rngs={"dropout": km2}, mutable=["batch_stats"])[0])
+                ema_vars = {"params": state.ema_params,
+                            "batch_stats": state.ema_batch_stats}
+                ema_m1 = adapt_output(opt, jax.tree_util.tree_map(
+                    lambda x: None if x is None else jax.lax.stop_gradient(x),
+                    model.apply(ema_vars, x_path=xm1, x_omic=batch["omic"],
+                                train=True, rngs={"dropout": km1},
+                                mutable=["batch_stats"])[0],
+                    is_leaf=lambda x: x is None))
+                ema_m2 = adapt_output(opt, jax.tree_util.tree_map(
+                    lambda x: None if x is None else jax.lax.stop_gradient(x),
+                    model.apply(ema_vars, x_path=xm2, x_omic=batch["omic"],
+                                train=True, rngs={"dropout": km2},
+                                mutable=["batch_stats"])[0],
+                    is_leaf=lambda x: x is None))
+                loss_masking = (
+                    pred_kd_loss(out_m1.pred_fuse, ema_m1.pred_fuse, opt.task)
+                    + pred_kd_loss(out_m2.pred_fuse, ema_m2.pred_fuse,
+                                   opt.task))
+                loss = loss + loss_masking
+                metrics["loss_masking"] = loss_masking
 
             if opt.tSVD_loss and opt.mode == "pathomic":
                 # M3LR low-rank constraint (train_test_tSVD.py:300-431)

@@ -29,11 +29,17 @@ import numpy as np
 import optax
 
 from ..contrast import (Embed, contrast_loss, crd_scores_select, init_bank)
+from ..contrast.hkd import (TAGEncoder, hkd_bank_update, hkd_graph_scores,
+                            hkd_scores, init_hkd_bank, knn_adjacency,
+                            nce_softmax_loss)
 from ..data.augment import augment_views
 from ..data.pipeline import Loader, PathomicDataset, PrefetchLoader
 from ..eval.metrics import grading_metrics, one_hot
-from ..gradweight import aekd_scale, aekd_total, aekd_v2_gate
-from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss
+from ..gradweight import (aekd_scale, aekd_total, aekd_v2_gate,
+                          momentum_aekd_scale)
+from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss, sp_loss
+from ..losses.distiller_zoo import (correlation_loss, feats_kl, hint_loss,
+                                    pkt_loss, rkd_loss)
 from ..models.factory import define_model
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from .ema import update_ema
@@ -67,6 +73,23 @@ def init_student_state(opt, model, tx, rng, n_data: int,
             params[f"crd_{name}_t"] = embed.init(
                 kt, jnp.zeros((1, t_dims[name])))["params"]
             banks[name] = init_bank(kb, n_data, opt.feat_dim)
+    elif opt.distill == "hkd":
+        # HKD: embeds + TAGConv encoders + NCE bank (GNN.py:121-134)
+        ks, kt = jax.random.split(ke1)
+        params["hkd_embed_s"] = embed.init(ks, d_s)["params"]
+        params["hkd_embed_t"] = embed.init(
+            kt, jnp.zeros((1, opt.mmhid)))["params"]
+        gnn = TAGEncoder(opt.feat_dim)
+        kg1, kg2 = jax.random.split(ke2)
+        dummy_adj = jnp.zeros((2, 2))
+        dummy_h = jnp.zeros((2, opt.feat_dim))
+        params["hkd_gnn_s"] = gnn.init(kg1, dummy_adj, dummy_h)["params"]
+        params["hkd_gnn_t"] = gnn.init(kg2, dummy_adj, dummy_h)["params"]
+        banks["hkd"] = init_hkd_bank(kb1, n_data, opt.feat_dim)
+    if opt.assign_weights and opt.loss_weighting == "momentum_AEKD":
+        # MIA-2022 momentum-AEKD scale EMA (..._v2.py:475)
+        n_losses = (4 if opt.distill == "crd" else 2) + int(opt.CE_grads)
+        banks["aekd_ema"] = jnp.zeros(n_losses)
     opt_state = tx.init(params)
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
     return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
@@ -127,10 +150,54 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
             else:
                 losses["div1"] = alpha * distill_kl(
                     logit_path, ema_logit_path, opt.kd_T)
-            if opt.distill == "crd":
-                teachers = [("fuse", t_out.fuse_feat, k_sel1)]
+            t_feat_fuse = t_out.fuse_feat
+            if opt.distill == "kd":
+                pass  # KL-div only (v2 :434-435)
+            elif opt.distill == "feats_KL":
+                losses["kd1"] = feats_kl(path_feat, t_feat_fuse)
+            elif opt.distill in ("similarity", "sp"):
+                losses["kd1"] = sp_loss(path_feat, t_feat_fuse)
+            elif opt.distill == "rkd":
+                losses["kd1"] = rkd_loss(path_feat, t_feat_fuse)
+            elif opt.distill == "pkt":
+                losses["kd1"] = pkt_loss(path_feat, t_feat_fuse)
+            elif opt.distill == "hint":
+                losses["kd1"] = hint_loss(path_feat, t_feat_fuse)
+            elif opt.distill == "correlation":
+                losses["kd1"] = correlation_loss(path_feat, t_feat_fuse)
+            elif opt.distill == "hkd":
+                # holistic graph KD (GNN.py:136-196); sample_idx holds only
+                # negatives for hkd (loader ``distill='hkd'``)
+                w = params["model"]["fc_new2"]["kernel"]
+                b = params["model"]["fc_new2"]["bias"]
+                logit_s = path_feat @ w + b
+                f_es = embed.apply({"params": params["hkd_embed_s"]},
+                                   path_feat)
+                f_et = embed.apply({"params": params["hkd_embed_t"]},
+                                   t_feat_fuse)
+                bank = state.banks["hkd"]
+                out_s, out_t = hkd_scores(bank, f_es, f_et, batch["index"],
+                                          batch["sample_idx"])
+                loss_hkd = nce_softmax_loss(out_s) + nce_softmax_loss(out_t)
+                gnn = TAGEncoder(opt.feat_dim)
+                adj_s = knn_adjacency(jax.lax.stop_gradient(logit_s))
+                adj_t = knn_adjacency(t_out.hazard_fuse)
+                f_gs = gnn.apply({"params": params["hkd_gnn_s"]}, adj_s, f_es)
+                f_gt = gnn.apply({"params": params["hkd_gnn_t"]}, adj_t, f_et)
+                out_gs, out_gt = hkd_graph_scores(bank, f_gs, f_gt,
+                                                  batch["index"],
+                                                  batch["sample_idx"])
+                loss_hkd = loss_hkd + (nce_softmax_loss(out_gs)
+                                       + nce_softmax_loss(out_gt))
+                losses["kd1"] = loss_hkd
+            elif opt.distill == "crd":
                 if opt.num_teachers == 2:
-                    teachers.append(("ema", ema_path_feat, k_sel2))
+                    teachers = [("fuse", t_out.fuse_feat, k_sel1),
+                                ("ema", ema_path_feat, k_sel2)]
+                elif opt.which_teacher == "fuse":
+                    teachers = [("fuse", t_out.fuse_feat, k_sel1)]
+                else:  # self_EMA
+                    teachers = [("ema", ema_path_feat, k_sel2)]
                 for i, (name, t_feat, k_sel) in enumerate(teachers, 1):
                     f_s = embed.apply({"params": params[f"crd_{name}_s"]},
                                       path_feat)
@@ -171,8 +238,11 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
             kd = kd_losses_fn(params, path_feat)
             kd_keys = sorted(kd.keys())  # [div1, div2, kd1, kd2]
             kd_vals = [kd[k] for k in kd_keys]
+            new_ema_scale = state.banks.get("aekd_ema") \
+                if state.banks else None
 
-            if opt.assign_weights:
+            weightable = opt.distill in ("crd", "kd")
+            if opt.assign_weights and weightable:
                 # per-loss feature gradients via vjp taps (AEKD_loss :41-70)
                 fns = [lambda f, kk=k: kd_losses_fn(params, f)[kk]
                        for k in kd_keys]
@@ -192,8 +262,21 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                     grads.append(jax.lax.stop_gradient(
                         jax.grad(ce_fn)(path_feat)))
                 if opt.student_customize:
+                    # AEKD_loss_v2 binary gating (:74-141)
                     loss_KD = aekd_v2_gate(grads[:-1], grads[-1], kd_vals)
                     scale = jnp.zeros(len(grads))
+                elif opt.loss_weighting == "momentum_AEKD":
+                    # MIA-2022 momentum AEKD (..._v2.py:89-132, 475); the
+                    # reference seeds mo_scale with the first step's scale
+                    mo, _ = momentum_aekd_scale(
+                        grads, state.banks["aekd_ema"], opt.grads_m,
+                        opt.thresh, use_thresh=True)
+                    first, _ = momentum_aekd_scale(
+                        grads, jnp.zeros_like(mo), 0.0, opt.thresh,
+                        use_thresh=True)
+                    scale = jnp.where(state.step == 0, first, mo)
+                    loss_KD = aekd_total(scale, kd_vals)
+                    new_ema_scale = scale
                 else:
                     scale = aekd_scale(grads, n_kd=len(kd_vals))
                     loss_KD = aekd_total(scale, kd_vals)
@@ -224,17 +307,31 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
 
         # bank updates happen once, after score computation (:278-284 call
         # into memory forward which updates in the same pass; our split is
-        # value-identical because updates use pre-update rows)
-        new_banks = state.banks
+        # value-identical because updates use pre-update rows and the
+        # forward-time (pre-optimizer-step) embed params)
+        new_banks = dict(state.banks) if state.banks else None
+        if opt.distill == "hkd":
+            f_es = embed.apply({"params": state.params["hkd_embed_s"]},
+                               path_feat)
+            f_et = embed.apply({"params": state.params["hkd_embed_t"]},
+                               t_out.fuse_feat)
+            new_banks["hkd"] = hkd_bank_update(state.banks["hkd"], f_es,
+                                               f_et, batch["index"])
+        if new_banks is not None and "aekd_ema" in new_banks:
+            new_banks["aekd_ema"] = metrics["scale"]
         if opt.distill == "crd":
             from ..contrast.crd import bank_update
-            new_banks = {}
             teachers = {"fuse": t_out.fuse_feat, "ema": ema_path_feat}
-            for name, bank in state.banks.items():
+            if opt.num_teachers == 2:
+                used = ("fuse", "ema")
+            else:
+                used = ("fuse",) if opt.which_teacher == "fuse" else ("ema",)
+            for name in used:
+                bank = state.banks[name]
                 f_s = embed.apply(
-                    {"params": new_params[f"crd_{name}_s"]}, path_feat)
+                    {"params": state.params[f"crd_{name}_s"]}, path_feat)
                 f_t = embed.apply(
-                    {"params": new_params[f"crd_{name}_t"]}, teachers[name])
+                    {"params": state.params[f"crd_{name}_t"]}, teachers[name])
                 # Z constants are set during the loss computation on the old
                 # bank; recompute the lazy init here on the stored state
                 out_s_raw = jnp.exp(jnp.einsum(
@@ -287,7 +384,7 @@ def train_student(opt, data: Dict, fold: int,
     (final_eval, best_info, avg_all_metrics/3)."""
     split = data["cv_splits"][fold]
     train_ds = PathomicDataset(opt, split, "train", train=True,
-                               contrast=(opt.distill == "crd"))
+                               contrast=(opt.distill in ("crd", "hkd")))
     test_ds = PathomicDataset(opt, split, "test", train=False)
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
                           drop_last=True, n_views=2,

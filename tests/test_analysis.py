@@ -1,0 +1,123 @@
+"""Offline analysis: patient aggregation, CI, ROI eval, KM plots, TCGA CSV."""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_learning_tpu.eval.analysis import (
+    aggregate_patient_hazards, aggregate_patient_predictions, ci_interval,
+    ci_pm, grad_evaluation, hazard2grade, roi_evaluation)
+from multimodal_learning_tpu.eval.metrics import one_hot
+
+
+def test_patient_aggregation_max_and_mean(rng):
+    probs = np.array([[0.2, 0.8], [0.6, 0.4], [0.9, 0.1]])
+    pats = ["A", "A", "B"]
+    agg, ids = aggregate_patient_predictions(probs, pats, "max")
+    assert ids == ["A", "B"]
+    np.testing.assert_allclose(agg[0], [0.6, 0.8])
+    agg2, _ = aggregate_patient_predictions(probs, pats, "mean")
+    np.testing.assert_allclose(agg2[0], [0.4, 0.6])
+    agg3, _ = aggregate_patient_predictions(probs, pats, "p0.75")
+    assert agg3.shape == (2, 2)
+
+
+def test_grad_evaluation_end_to_end(rng):
+    folds = {}
+    for k in (1, 2):
+        n_pat, ppp = 10, 3
+        gt_pat = rng.integers(0, 3, n_pat)
+        gt = np.repeat(gt_pat, ppp)
+        probs = one_hot(gt, 3) * 0.7 + rng.dirichlet(np.ones(3), n_pat * ppp) * 0.3
+        pats = np.repeat([f"P{i}" for i in range(n_pat)], ppp)
+        folds[k] = {"probs": probs, "gt": gt, "patnames": pats}
+    res = grad_evaluation(folds, 3, agg_type="max")
+    assert len(res["per_fold"]["rocauc"]) == 2
+    assert res["mean"][0] > 0.8  # strong signal injected
+    assert all(c >= 0 for c in res["ci95"])
+
+
+def test_ci_pm():
+    vals = [0.8, 0.82, 0.78, 0.81, 0.79]
+    h = ci_pm(vals)
+    lo, hi = ci_interval(vals)
+    assert lo < np.mean(vals) < hi
+    assert h == pytest.approx((hi - lo) / 2)
+
+
+def test_roi_evaluation(rng):
+    n_roi, ppp = 8, 9
+    gt = np.repeat(rng.integers(0, 3, n_roi), ppp)
+    probs = one_hot(gt, 3) * 0.6 + rng.dirichlet(np.ones(3), n_roi * ppp) * 0.4
+    m = roi_evaluation(probs, gt, patches_per_roi=ppp)
+    assert len(m) == 4 and m[0] > 0.7
+
+
+def test_hazard_aggregation_and_grade():
+    hz = np.array([1.0, 3.0, 2.0])
+    t = np.array([10.0, 10.0, 5.0])
+    e = np.array([1.0, 1.0, 0.0])
+    pats = ["A", "A", "B"]
+    h, tt, ee, ids = aggregate_patient_hazards(hz, t, e, pats, "mean")
+    np.testing.assert_allclose(h, [2.0, 2.0])
+    assert hazard2grade(0.5, [1.0, 2.0]) == 0
+    assert hazard2grade(1.5, [1.0, 2.0]) == 1
+    assert hazard2grade(5.0, [1.0, 2.0]) == 2
+
+
+def test_km_plot_and_box_plot(tmp_path, rng):
+    from multimodal_learning_tpu.eval.plots import (km_curve,
+                                                    make_hazard_box_plot,
+                                                    make_kaplan_meier_plot)
+    n = 60
+    hz = rng.normal(size=n)
+    t = rng.exponential(20, n) * np.exp(-hz)  # higher hazard dies sooner
+    e = rng.binomial(1, 0.8, n).astype(float)
+    times, probs = km_curve(t, e)
+    assert probs[0] == 1.0 and np.all(np.diff(probs) <= 0)
+    out = str(tmp_path / "km.png")
+    make_kaplan_meier_plot(hz, t, e, out)
+    assert os.path.getsize(out) > 1000
+    out2 = str(tmp_path / "box.png")
+    make_hazard_box_plot(hz, rng.integers(0, 3, n), out2)
+    assert os.path.exists(out2)
+
+
+def test_tcga_csv_pipeline(tmp_path):
+    """getCleanAllDataset parity on a fabricated miniature CSV pair."""
+    import pandas as pd
+    from multimodal_learning_tpu.data.tcga import get_clean_all_dataset
+    ids = [f"TCGA-{i:02d}" for i in range(8)]
+    all_ds = pd.DataFrame({
+        "indexes": range(8), "TCGA ID": ids,
+        "censored": [0, 1, 0, 1, 0, 1, 0, 1],
+        "Survival months": np.linspace(5, 80, 8),
+        "idh mutation": [1, 0, None, 1, 0, 1, 0, 1],
+        "codeletion": [1, 0, None, 0, 0, 1, 0, 1],
+        "geneA": [1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0, 8.0],
+    })
+    grade = pd.DataFrame({
+        "TCGA ID": ids,
+        "Histology": ["astrocytoma", "glioblastoma",
+                      "astrocytoma (glioblastoma)", "oligodendroglioma",
+                      None, "oligoastrocytoma", "astrocytoma",
+                      "glioblastoma"],
+        "Grade": [2, 4, 4, 3, None, 2, 3, 4],
+        "Molecular subtype": ["IDHmut-codel", "IDHwt", None, "IDHmut-codel",
+                              "IDHwt", "IDHmut-non-codel", "IDHwt", "IDHwt"],
+    })
+    all_ds.to_csv(tmp_path / "all_dataset.csv", index=False)
+    grade.to_csv(tmp_path / "grade_data.csv", index=False)
+    meta, df = get_clean_all_dataset(str(tmp_path),
+                                     ignore_missing_moltype=True,
+                                     ignore_missing_histype=True)
+    assert "Histomolecular subtype" in df.columns
+    # missing moltype/histology rows dropped
+    assert len(df) == 6
+    # grade shifted by -2; censored flipped
+    assert set(df["Grade"]).issubset({0, 1, 2})
+    assert df.loc["TCGA-00", "censored"] == 1
+    # '(glioblastoma)' histology remap happened before the join
+    assert df.loc["TCGA-01", "Histology"] == 3
+    # geneA imputed with median
+    assert not df["geneA"].isna().any()

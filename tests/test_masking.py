@@ -1,0 +1,55 @@
+"""CLAT stage-1 superpixel masking: SLIC, saliency masks, end-to-end."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_learning_tpu.masking import slic_segment
+from multimodal_learning_tpu.masking.superpixel import superpixel_attention_mask
+
+
+def test_slic_labels_valid(rng):
+    img = np.clip(rng.normal(128, 40, (96, 96, 3)), 0, 255).astype(np.uint8)
+    labels = slic_segment(img, 25)
+    assert labels.shape == (96, 96)
+    assert labels.min() >= 0 and labels.max() < 25
+
+
+def test_superpixel_mask_selects_salient_segments():
+    """Cost depends only on region A; the path mask must cover A."""
+    B, H, W, D = 2, 16, 16, 8
+    sp = np.zeros((B, H, W), np.int32)
+    sp[:, :, 8:] = 1                     # two segments: left(0) / right(1)
+    x_path = jnp.ones((B, H, W, 3))
+    x_omic = jnp.ones((B, D))
+
+    def cost_fn(xp, xo):
+        # salient: right half of the image, omic feature 3
+        return jnp.sum(xp[:, :, 8:, :]) * 0.1 + jnp.sum(xo[:, 3]) * 2.0
+
+    pm, om = superpixel_attention_mask(cost_fn, x_path, x_omic,
+                                       jnp.asarray(sp), num_superpixels=2,
+                                       path_k=1, omic_k=1)
+    np.testing.assert_array_equal(np.asarray(pm[:, :, 8:]), 1.0)
+    np.testing.assert_array_equal(np.asarray(pm[:, :, :8]), 0.0)
+    assert np.all(np.asarray(om[:, 3]) == 1.0)
+    assert float(np.asarray(om).sum()) == B  # exactly one feature per sample
+
+
+def test_stage1_masking_training_runs(tmp_path):
+    """BASELINE config 5 stage 1: masked teacher end-to-end."""
+    from multimodal_learning_tpu.config import Options
+    from multimodal_learning_tpu.data import make_synthetic_splits
+    from multimodal_learning_tpu.train.loop import train_teacher
+
+    data = make_synthetic_splits(n_train=24, n_test=8, roi_size=32, seed=6)
+    opt = Options(mode="pathomic", task="grad", model_name="clat1",
+                  path_dim=16, omic_dim=16, mmhid=16, input_size_path=32,
+                  batch_size=8, niter=0, niter_decay=2, lr=1e-3, verbose=0,
+                  checkpoints_dir=str(tmp_path), host_workers=2,
+                  reg_type="none", CRD_distill=0, pred_distill=1,
+                  masking=1, start_epoch=1, num_superpixels=9,
+                  Path_K=2, Omic_K=5)
+    res, best = train_teacher(opt, data, fold=1)
+    assert np.isfinite(res["loss"])

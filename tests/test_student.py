@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from multimodal_learning_tpu.gradweight import (aekd_scale, aekd_total,
                                                 aekd_v2_gate,
                                                 gk_refine_thresh_weights,
-                                                momentum_scale_update)
+                                                momentum_aekd_scale)
 
 
 def test_aekd_scale_matches_reference_formula(rng):
@@ -40,21 +40,31 @@ def test_aekd_v2_gate_binary(rng):
 def test_gk_refine_thresh_per_sample(rng):
     b, d = 4, 8
     ce = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
-    g1 = ce  # cos = 1 everywhere
-    g2 = -ce
-    w = gk_refine_thresh_weights([g1, g2], ce, grads_thresh=0.25)
-    assert w.shape == (b, 2)
-    np.testing.assert_array_equal(np.asarray(w[:, 0]), 1.0)
-    np.testing.assert_array_equal(np.asarray(w[:, 1]), 0.0)
+    g1 = ce * 2.0  # cos = +1 with CE and itself
+    g2 = -ce       # cos = -1 with CE/g1, +1 with itself
+    # full pairwise row-sums over [g1, g2, ce] (binarised > 0.25):
+    # row g1: self(1) + ce(1) = 2;  row g2: self only = 1
+    w = gk_refine_thresh_weights([g1, g2, ce], grads_thresh=0.25)
+    assert w.shape == (b, 3)
+    np.testing.assert_allclose(np.asarray(w[:, 0]), 2.0)
+    np.testing.assert_allclose(np.asarray(w[:, 1]), 1.0)
+    # relu-sum variant
+    w2 = gk_refine_thresh_weights([g1, g2, ce], 0.25, use_thresh=False)
+    np.testing.assert_allclose(np.asarray(w2[:, 0]), 2.0, rtol=1e-5)
 
 
-def test_momentum_scale_update():
-    s = jnp.asarray([1.0, 3.0])
-    ema = jnp.asarray([2.0, 2.0])
-    w, new = momentum_scale_update(s, ema, momentum=0.5, thresh=0.4,
-                                   use_thresh=True)
-    np.testing.assert_allclose(np.asarray(new), [1.5, 2.5])
-    np.testing.assert_allclose(np.asarray(w), [0.0, 1.0])  # 1.5/4 < .4 < 2.5/4
+def test_momentum_aekd_scale(rng):
+    b, d = 4, 8
+    ce = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    grads = [ce * 2.0, -ce, ce]   # KD1 (aligned), KD2 (opposed), CE
+    ema = jnp.zeros(3)
+    # binarised relation (> .1): row KD1 = self+CE = 2, row KD2 = self = 1
+    w, new = momentum_aekd_scale(grads, ema, grads_m=0.5, thresh=0.1,
+                                 use_thresh=True)
+    np.testing.assert_allclose(np.asarray(w), [1.0, 0.5, 1.0])  # 0.5 * scale
+    w2, _ = momentum_aekd_scale(grads, new, grads_m=0.5, thresh=0.1,
+                                use_thresh=True)
+    np.testing.assert_allclose(np.asarray(w2), [1.5, 0.75, 1.5])
 
 
 def test_student_stage_end_to_end(tmp_path):
