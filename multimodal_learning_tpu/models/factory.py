@@ -26,6 +26,13 @@ def define_model(opt, path_only: bool = False,
                       dropout_rate=opt.dropout_rate, act_type=opt.act_type,
                       label_dim=opt.label_dim,
                       init_max=(opt.init_type == "max"), dtype=_dtype(opt))
+    if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
+        from .pathomic import PathomicDynamicsModel
+        return PathomicDynamicsModel(
+            path_dim=opt.path_dim, omic_dim=opt.omic_dim, mmhid=opt.mmhid,
+            label_dim=opt.label_dim, input_size_omic=opt.input_size_omic,
+            dropout_rate=opt.dropout_rate, act_type=opt.act_type,
+            init_max=(opt.init_type == "max"), dtype=_dtype(opt))
     if opt.mode == "pathomic":
         return PathomicModel(
             path_dim=opt.path_dim, omic_dim=opt.omic_dim, mmhid=opt.mmhid,

@@ -63,6 +63,45 @@ def make_fusion(fusion_type: str, *, skip=0, use_bilinear=1, path_gate=1,
     raise NotImplementedError(f"fusion type [{fusion_type}] is not found")
 
 
+class PathomicDynamicsModel(nn.Module):
+    """MMDynamics container — reference ``PathomicNet_dynamics``
+    (``networks_new.py:372-418``): path/omic encoders feed the
+    (reconstructed) MMDynamic trustworthy fusion.  ``__call__`` with labels
+    returns (MMLoss, MMlogit, TCPLogits); with ``infer=True`` just MMlogit.
+    """
+    path_dim: int = 128
+    omic_dim: int = 128
+    mmhid: int = 128
+    label_dim: int = 3
+    input_size_omic: int = 80
+    dropout_rate: float = 0.25
+    act_type: str = "LSM"
+    init_max: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .mmdynamic import MMDynamic
+        self.path_net = ResNet18(path_dim=self.path_dim,
+                                 num_classes=self.label_dim,
+                                 act_type=self.act_type, dtype=self.dtype)
+        self.omic_net = MaxNet(input_dim=self.input_size_omic,
+                               omic_dim=self.omic_dim,
+                               dropout_rate=self.dropout_rate,
+                               act_type=self.act_type,
+                               label_dim=self.label_dim,
+                               init_max=self.init_max, dtype=self.dtype)
+        self.fusion = MMDynamic(dim_list=(self.path_dim, self.omic_dim),
+                                hidden_dim=(self.mmhid,),
+                                num_class=self.label_dim, dropout=0.5)
+
+    def __call__(self, x_path, x_omic, labels=None, train: bool = True,
+                 infer: bool = False):
+        _, path_feat, _, _ = self.path_net(x_path, train=train)
+        omic_feat, _, _ = self.omic_net(x_omic, train=train)
+        return self.fusion([path_feat, omic_feat], labels=labels,
+                           train=train, infer=infer)
+
+
 class PathomicModel(nn.Module):
     """Multimodal model; also runs single-branch when one input is None."""
     path_dim: int = 128
