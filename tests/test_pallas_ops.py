@@ -1,0 +1,60 @@
+"""Pallas kernels vs XLA references (interpret mode on the CPU mesh)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    """Run pallas_call in interpreter mode on CPU."""
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    import multimodal_learning_tpu.ops.kron_fusion as kf
+    monkeypatch.setattr(kf.pl, "pallas_call", patched)
+    yield
+
+
+def _ref(o1, o2, w, b):
+    # w layout [d2, d1, K]: W[j, i, k] pairs with o1[:, i] * o2[:, j]
+    return jnp.einsum("bi,bj,jik->bk", o1, o2, w) + b
+
+
+def test_kron_matmul_forward(rng):
+    from multimodal_learning_tpu.ops import kron_matmul
+    B, d1, d2, K = 4, 9, 9, 16
+    o1 = jnp.asarray(rng.normal(size=(B, d1)).astype(np.float32))
+    o2 = jnp.asarray(rng.normal(size=(B, d2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d2, d1, K)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+    out = kron_matmul(o1, o2, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(o1, o2, w, b)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kron_matmul_grads(rng):
+    from multimodal_learning_tpu.ops import kron_matmul
+    B, d1, d2, K = 3, 5, 7, 8
+    o1 = jnp.asarray(rng.normal(size=(B, d1)).astype(np.float32))
+    o2 = jnp.asarray(rng.normal(size=(B, d2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d2, d1, K)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+
+    def loss_pallas(o1, o2, w, b):
+        return jnp.sum(jnp.sin(kron_matmul(o1, o2, w, b)))
+
+    def loss_ref(o1, o2, w, b):
+        return jnp.sum(jnp.sin(_ref(o1, o2, w, b)))
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(o1, o2, w, b)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(o1, o2, w, b)
+    for a, c in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
+                                   atol=1e-5)
