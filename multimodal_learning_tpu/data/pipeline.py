@@ -34,6 +34,14 @@ from .sampling import ContrastSampler
 def _decode(entry) -> np.ndarray:
     if isinstance(entry, np.ndarray) and entry.ndim == 3:
         return entry
+    if str(entry).lower().endswith((".jpg", ".jpeg")):
+        # native libjpeg decode (releases the GIL inside ctypes, so the
+        # thread pool gets true parallelism); PIL fallback below
+        from . import native_loader
+        with open(entry, "rb") as fh:
+            img = native_loader.decode_jpeg(fh.read())
+        if img is not None:
+            return img
     from PIL import Image
     with Image.open(entry) as im:
         return np.asarray(im.convert("RGB"))

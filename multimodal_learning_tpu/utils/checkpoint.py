@@ -43,3 +43,22 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as fh:
         return pickle.load(fh)
+
+
+def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
+    """Orbax-backed variant (directory checkpoint): async-safe, versioned,
+    restorable across hosts.  ``path`` is used as a directory."""
+    import orbax.checkpoint as ocp
+    host = {}
+    for k, v in payload.items():
+        if k == "opt" and dataclasses.is_dataclass(v):
+            host[k] = dataclasses.asdict(v)
+        elif v is not None and k != "metrics":
+            host[k] = _to_host(v)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), host, force=True)
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
