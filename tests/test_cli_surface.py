@@ -1,0 +1,81 @@
+"""CLI flag-surface parity: the reference's exact shell recipes must parse.
+
+Commands taken verbatim from ``MICCAI-2022/README.md:26-33``,
+``MIA 2022/train.sh`` and ``MIA 2023/stage2_unimodal_student/
+train_20230805.sh`` (flags only; the driver module differs by design).
+"""
+import shlex
+
+import pytest
+
+from multimodal_learning_tpu.config import Options, parse_args
+
+
+def _parse(cmd: str) -> Options:
+    return parse_args(shlex.split(cmd), save=False)
+
+
+def test_miccai_teacher_recipe():
+    opt = _parse("--pred_distill 1 --CRD_distill 0 --cut_fuse_grad True "
+                 "--model_name stage1_pathomic_teacher --beta1 0.9")
+    assert opt.pred_distill == 1 and opt.CRD_distill == 0
+    assert opt.cut_fuse_grad is True and opt.beta1 == 0.9
+
+
+def test_miccai_student_recipe():
+    opt = _parse("--distill crd -a 1 -b 0.02 --nce_p2 20 --num_teachers 2 "
+                 "--CE_grads True --model_name path_weighted_4teachers_distill "
+                 "--fixed_model stage1_pathomic_teacher "
+                 "--reg_type none --beta1 0.9 --select_pos_mode mid "
+                 "--assign_weights True")
+    assert opt.alpha == 1.0 and opt.beta == 0.02
+    assert opt.assign_weights is True and opt.select_pos_mode == "mid"
+    assert opt.CE_grads is True and opt.reg_type == "none"
+
+
+def test_mia22_tsvd_teacher_recipe():
+    opt = _parse("--pred_distill 1 --CRD_distill 0 --model_name random_test "
+                 "--tSVD_loss True --mode pathomic --init_type max "
+                 "--beta1 0.5 --fusion_type pofusion --n_views 4 "
+                 "--tSVD_mode pathomic --Lambda_global 0.1 --batch_size 16 "
+                 "--path_dim 128 --omic_dim 128 --mmhid 128")
+    assert opt.tSVD_loss is True and opt.n_views == 4
+    assert opt.Lambda_global == 0.1 and opt.mmhid == 128
+
+
+def test_mia22_student_recipe():
+    opt = _parse("--distill crd -r 1.0 -a 1.0 -b 0.02 --CE_grads True "
+                 "--niter_decay 30 --model_name random_test "
+                 "--fixed_model 1023_pathomic_MT --reg_type none --beta1 0.9 "
+                 "--kd_T 1.0 --nce_p 1 --nce_p2 1 --nce_k 1024 --nce_k2 1024 "
+                 "--neg_reweight False --pos_mode exact")
+    assert opt.gamma == 1.0 and opt.nce_k == 1024
+    assert opt.neg_reweight is False and opt.pos_mode == "exact"
+
+
+def test_clat_stage2_recipe():
+    opt = _parse("--CE_grads True --niter_decay 30 "
+                 "--fixed_model stage1_ours_colorjit_v1 --reg_type none "
+                 "--beta1 0.9 --pos_mode exact --nce_p 6 --nce_k 4096 "
+                 "--pos_extra neighbors --max_discrep 1 --grads_thresh 0.25 "
+                 "--use_grads_thresh True --num_teachers 2 "
+                 "--assign_weights True")
+    assert opt.nce_p == 6 and opt.nce_k == 4096
+    assert opt.pos_extra == "neighbors" and opt.use_grads_thresh is True
+    assert opt.grads_thresh == 0.25
+
+
+def test_stage1_masking_recipe():
+    opt = _parse("--masking 1 --Path_K 1 --Omic_K 5 --num_superpixels 100")
+    assert opt.masking == 1 and opt.Path_K == 1 and opt.Omic_K == 5
+
+
+def test_unknown_flags_silently_ignored():
+    opt = _parse("--mode omic --not_a_real_flag 7 --another_fake x")
+    assert opt.mode == "omic"
+
+
+def test_string_booleans():
+    opt = _parse("--tSVD_loss False --orth_loss True --sample_KD True")
+    assert opt.tSVD_loss is False and opt.orth_loss is True
+    assert opt.sample_KD is True
