@@ -43,9 +43,12 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
     per-branch probabilities / risks, returns losses + metrics + the
     ``pred_test`` list used by offline analysis."""
     probs = {"fuse": [], "path": [], "omic": []}
+    feats = {"fuse": [], "path": [], "omic": []}
     losses = {"fuse": 0.0, "path": 0.0, "omic": 0.0}
     gts, times, events = [], [], []
     n_batches = 0
+    feat_fields = {"fuse": "fuse_feat", "path": "path_feat",
+                   "omic": "omic_feat"}
     for batch in loader:
         key, sub = jax.random.split(key)
         out, parts = eval_step(params, batch_stats, batch, sub)
@@ -55,6 +58,9 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
             if pred is not None:
                 probs[name].append(np.asarray(pred))
                 losses[name] += float(parts[f"loss_{name}"])
+            feat = getattr(out, feat_fields[name])
+            if feat is not None:
+                feats[name].append(np.asarray(feat))
         gts.append(np.asarray(batch["g"]))
         times.append(np.asarray(batch["t"]))
         events.append(np.asarray(batch["e"]))
@@ -65,6 +71,9 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
     res: Dict = {"gt": gt, "n": len(gt)}
     probs = {k: (np.concatenate(v) if v else None) for k, v in probs.items()}
     res["probs"] = probs
+    # per-branch features (reference test() feats_test, train_test_MT.py:455)
+    res["feats"] = {k: (np.concatenate(v) if v else None)
+                    for k, v in feats.items()}
     for name in ("fuse", "path", "omic"):
         res[f"loss_{name}"] = losses[name] / max(n_batches, 1)
     res["loss"] = sum(losses.values()) / max(n_batches, 1)

@@ -286,6 +286,26 @@ def train_clat_student(opt, data: Dict, fold: int,
                      "ema_model_state_dict": state.ema_params,
                      "metrics": ext})
 
+    # intra/inter-class similarity diagnostics (reference
+    # evaluate_feature, stage2 ...distill.py:170-186): teacher fuse vs
+    # student path features over the plain test split
+    if final_eval is not None and opt.task == "grad":
+        from ..eval.diagnostics import evaluate_feature
+        t_eval_step = build_eval_step(opt, teacher_model)
+        rng, sub = jax.random.split(rng)
+        t_res = evaluate(opt, t_eval_step, teacher_vars["params"],
+                         teacher_vars.get("batch_stats", {}), test_loader,
+                         sub)
+        s_feats = final_eval["feats"].get("path")
+        t_feats = t_res["feats"].get("fuse")
+        if (s_feats is not None and t_feats is not None
+                and len(s_feats) == len(t_feats)):
+            final_eval["similarity_diagnostics"] = evaluate_feature(
+                t_feats, s_feats, final_eval["gt"])
+            if opt.verbose:
+                log(f"[fold {fold}] similarity diagnostics: "
+                    f"{final_eval['similarity_diagnostics']}")
+
     save_checkpoint(
         os.path.join(ckpt_dir, f"{opt.model_name}_{fold}.pt"),
         {"split": fold, "opt": opt, "epoch": total_epochs,
