@@ -199,6 +199,10 @@ class Options:
     #                                        (.npz) — replaces the reference's
     #                                        torchvision .pth load (resnets.py:281)
     synthetic_data: bool = False           # fabricate a miniature dataset (tests)
+    resume: bool = False                   # resume a fold from its latest
+    #                                        epoch snapshot (the reference has
+    #                                        no mid-fold resume — SURVEY §5)
+    snapshot_every: int = 5                # epochs between resumable snapshots
     test_augment: bool = False             # the MICCAI/MIA22 reference applies
     #                                        the full random augmentation at
     #                                        test time too

@@ -46,9 +46,10 @@ def make_synthetic_splits(
     for k in range(1, n_folds + 1):
         fold = {}
         for split, n in (("train", n_train), ("test", n_test)):
-            n_img = n * (patches_per_roi if split == "test" else 1)
-            g = rng.integers(0, n_classes, size=n_img // patches_per_roi)
-            g = np.repeat(g, patches_per_roi)
+            ppr = patches_per_roi if split == "test" else 1
+            n_img = n * ppr
+            g = rng.integers(0, n_classes, size=n)
+            g = np.repeat(g, ppr)
             x_omic = rng.normal(size=(n_img, omic_dim)).astype(np.float32)
             # inject class signal into the omic vector and image brightness
             x_omic[:, :8] += g[:, None] * 1.5
@@ -73,7 +74,7 @@ def make_synthetic_splits(
             t = (t / (1.0 + 0.5 * g)).astype(np.float32)  # higher grade: shorter
             e = rng.binomial(1, 0.7, size=n_img).astype(np.float32)
             patnames = np.array(
-                [f"TCGA-SYN-{split}{k}-{i // patches_per_roi:04d}"
+                [f"TCGA-SYN-{split}{k}-{i // ppr:04d}"
                  for i in range(n_img)])
             fold[split] = {"x_path": x_path, "x_patname": patnames,
                            "x_omic": x_omic, "e": e,

@@ -21,7 +21,8 @@ from ..data.pipeline import Loader, PathomicDataset, PrefetchLoader
 from ..eval.metrics import (accuracy_cox, concordance_index, cox_log_rank,
                             grading_metrics, one_hot)
 from ..models.factory import define_model
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import (load_train_state, save_checkpoint,
+                                save_train_state)
 from ..utils.logging import MetricsLogger
 from .optim import make_optimizer
 from .schedules import make_lr_schedule
@@ -155,7 +156,16 @@ def train_teacher(opt, data: Dict, fold: int,
     mlog = MetricsLogger(ckpt_dir, run_name=f"teacher_fold{fold}")
     final_eval = None
 
-    for epoch in range(opt.epoch_count, total_epochs + 1):
+    # mid-fold resume from the latest snapshot (full train state incl.
+    # optimizer/EMA/banks — a capability the reference lacks, SURVEY §5)
+    snap_path = os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_state.snap")
+    start_epoch = opt.epoch_count
+    if opt.resume and os.path.exists(snap_path):
+        state, done_epoch = load_train_state(snap_path, state)
+        start_epoch = done_epoch + 1
+        log(f"[fold {fold}] resumed from epoch {done_epoch}")
+
+    for epoch in range(start_epoch, total_epochs + 1):
         crd_weight = 0.01 if epoch >= 15 else opt.CRD_weight
         t0 = time.time()
         agg: Dict[str, float] = {}
@@ -187,6 +197,9 @@ def train_teacher(opt, data: Dict, fold: int,
         res = evaluate(opt, eval_step, state.params["model"],
                        state.batch_stats, loader_for_eval, sub)
         final_eval = res
+
+        if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
+            save_train_state(snap_path, state, epoch)
 
         if opt.task == "grad":
             test_acc = res.get("acc_fuse", res.get("acc_path",

@@ -45,6 +45,27 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(fh)
 
 
+def save_train_state(path: str, state: Any, epoch: int) -> None:
+    """Resumable mid-fold snapshot: the FULL train state (params, BN stats,
+    optimizer moments, EMA, CRD banks) via flax.serialization.  The
+    reference cannot resume a fold (SURVEY §5); this can."""
+    from flax import serialization
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.to_bytes(state)
+    with open(path, "wb") as fh:
+        pickle.dump({"epoch": epoch, "state_bytes": blob}, fh)
+
+
+def load_train_state(path: str, template: Any):
+    """Restore a snapshot into a freshly-initialised state (structure is
+    validated against the template).  Returns (state, epoch)."""
+    from flax import serialization
+    with open(path, "rb") as fh:
+        payload = pickle.load(fh)
+    state = serialization.from_bytes(template, payload["state_bytes"])
+    return state, payload["epoch"]
+
+
 def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
     """Orbax-backed variant (directory checkpoint): async-safe, versioned,
     restorable across hosts.  ``path`` is used as a directory."""

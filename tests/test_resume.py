@@ -1,0 +1,37 @@
+"""Mid-fold resume: the full train state round-trips through a snapshot and
+training continues from the saved epoch."""
+import os
+
+import numpy as np
+
+from multimodal_learning_tpu.config import Options
+from multimodal_learning_tpu.data import make_synthetic_splits
+from multimodal_learning_tpu.train.loop import train_teacher
+
+
+def test_mid_fold_resume(tmp_path):
+    data = make_synthetic_splits(n_train=24, n_test=8, roi_size=32, seed=12)
+    common = dict(mode="omic", task="grad", model_name="res", omic_dim=8,
+                  input_size_path=32, batch_size=8, lr=1e-3, verbose=0,
+                  checkpoints_dir=str(tmp_path), host_workers=2,
+                  reg_type="none", CRD_distill=0, pred_distill=0,
+                  snapshot_every=2)
+    # run 2 epochs and snapshot
+    opt = Options(niter=0, niter_decay=2, **common)
+    train_teacher(opt, data, fold=1)
+    snap = os.path.join(str(tmp_path), "grad_15", "res", "res_1_state.snap")
+    assert os.path.exists(snap)
+
+    # resume with a 4-epoch budget: must continue from epoch 3
+    logs = []
+    opt = Options(niter=0, niter_decay=4, resume=True, **common)
+    res, best = train_teacher(opt, data, fold=1, log=logs.append)
+    assert any("resumed from epoch 2" in str(m) for m in logs)
+    assert np.isfinite(res["loss"])
+
+    # without resume, no resume message
+    logs2 = []
+    opt = Options(niter=0, niter_decay=2, resume=False,
+                  **{**common, "model_name": "res2"})
+    train_teacher(opt, data, fold=1, log=logs2.append)
+    assert not any("resumed" in str(m) for m in logs2)
