@@ -26,7 +26,8 @@ from ..utils.checkpoint import (load_train_state, save_checkpoint,
 from ..utils.logging import MetricsLogger
 from .optim import make_optimizer
 from .schedules import make_lr_schedule
-from .steps import build_eval_step, build_teacher_train_step, init_teacher_state
+from .steps import (build_eval_step, build_mmdynamics_train_step,
+                    build_teacher_train_step, init_teacher_state)
 
 
 def _sample_shapes(opt):
@@ -145,7 +146,10 @@ def train_teacher(opt, data: Dict, fold: int,
     rng, k_init = jax.random.split(rng)
     state = init_teacher_state(opt, model, tx, k_init, n_data,
                                _sample_shapes(opt))
-    train_step = build_teacher_train_step(opt, model, tx)
+    if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
+        train_step = build_mmdynamics_train_step(opt, model, tx)
+    else:
+        train_step = build_teacher_train_step(opt, model, tx)
     masked_step = (build_teacher_train_step(opt, model, tx, masking=True)
                    if use_masking else None)
     eval_step = build_eval_step(opt, model)

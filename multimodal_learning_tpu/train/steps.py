@@ -141,7 +141,12 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
                        sample_batch) -> TrainState:
     """Initialise params / EMA / banks / embeds for the teacher flow."""
     k_model, k_drop, k_bank, k_embed = jax.random.split(rng, 4)
-    if opt.mode == "pathomic":
+    if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
+        variables = model.init({"params": k_model, "dropout": k_drop},
+                               sample_batch.get("x_path"),
+                               sample_batch.get("x_omic"), train=True,
+                               infer=True)
+    elif opt.mode == "pathomic":
         variables = model.init({"params": k_model, "dropout": k_drop},
                                x_path=sample_batch.get("x_path"),
                                x_omic=sample_batch.get("x_omic"), train=True)
@@ -178,6 +183,42 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
                       batch_stats=batch_stats, opt_state=opt_state,
                       ema_params=copy(params["model"]),
                       ema_batch_stats=copy(batch_stats), banks=banks)
+
+
+def build_mmdynamics_train_step(opt, model, tx):
+    """Train step for ``--fusion_type mmdynamics``
+    (``PathomicNet_dynamics``, ``networks_new.py:372-418``): the MMDynamic
+    fusion computes its own composite loss (modality CEs + TCP confidence
+    regression + fused CE); no mean-teacher machinery."""
+
+    def train_step(state: TrainState, batch, key, crd_weight):
+        k_aug, k_drop = jax.random.split(key)
+        views = augment_views(k_aug, batch["path_views"])
+        x1 = views[:, 0]
+
+        def loss_fn(params):
+            (loss, mm_logit, _), mut = model.apply(
+                {"params": params["model"], "batch_stats": state.batch_stats},
+                x1, batch["omic"], batch["g"], train=True,
+                rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            loss = loss + opt.lambda_reg * l1_regularizer(
+                params["model"], opt.reg_type)
+            return loss, (mut.get("batch_stats", {}), mm_logit)
+
+        (loss, (new_stats, mm_logit)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss,
+                   "correct_fuse": jnp.sum(
+                       jnp.argmax(mm_logit, 1) == batch["g"])}
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def build_teacher_train_step(opt, model, tx, masking: bool = False):
@@ -415,6 +456,15 @@ def build_eval_step(opt, model):
                 x = x.astype(jnp.float32) / 127.5 - 1.0
         else:
             x = None
+        if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
+            mm_logit = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, batch["omic"], train=False, infer=True)
+            pred = jax.nn.log_softmax(mm_logit, axis=1)
+            out = PathomicOutput(None, None, None, None, mm_logit, None,
+                                 None, pred, None, None)
+            _, parts = task_losses(opt, out, batch)
+            return out, parts
         raw = _apply(opt, model, params, batch_stats, batch, x,
                      train=False, rng=None, mutable=False)
         out = adapt_output(opt, raw)

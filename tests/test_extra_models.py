@@ -87,3 +87,18 @@ def test_recipes_resolve():
     assert opt.nce_k == 4096
     with pytest.raises(KeyError):
         get_recipe("nope")
+
+
+def test_mmdynamics_training_runs(tmp_path, rng):
+    """--fusion_type mmdynamics end-to-end (a dead path in the reference)."""
+    from multimodal_learning_tpu.data import make_synthetic_splits
+    from multimodal_learning_tpu.train.loop import train_teacher
+    data = make_synthetic_splits(n_train=16, n_test=8, roi_size=32, seed=13)
+    opt = Options(mode="pathomic", fusion_type="mmdynamics", task="grad",
+                  model_name="mmd", path_dim=16, omic_dim=16, mmhid=16,
+                  input_size_path=32, batch_size=8, niter=0, niter_decay=1,
+                  lr=1e-3, verbose=0, checkpoints_dir=str(tmp_path),
+                  host_workers=2, reg_type="none", CRD_distill=0,
+                  pred_distill=0)
+    res, best = train_teacher(opt, data, fold=1)
+    assert "acc_fuse" in res and np.isfinite(res["loss"])
