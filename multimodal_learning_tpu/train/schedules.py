@@ -6,6 +6,7 @@ functions of the global step given ``steps_per_epoch``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -57,6 +58,17 @@ def make_lr_schedule(opt, steps_per_epoch: int):
 
     raise NotImplementedError(
         f"learning rate policy [{opt.lr_policy}] is not implemented")
+
+
+def sigmoid_rampup(current: float, rampup_length: float) -> float:
+    """Exponential consistency ramp-up (Laine & Aila 2017) — reference
+    ``utils.py:47-54`` / ``get_current_consistency_weight``
+    (``train_test_MT.py:48-50``; the reference defines but comments out its
+    use at ``:154-155``)."""
+    if rampup_length == 0:
+        return 1.0
+    phase = 1.0 - min(max(current, 0.0), rampup_length) / rampup_length
+    return float(np.exp(-5.0 * phase * phase))
 
 
 class PlateauTracker:

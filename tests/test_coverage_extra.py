@@ -109,3 +109,23 @@ def test_patch_loader_switch(tmp_path):
                   reg_type="none", CRD_distill=0, pred_distill=0)
     res, best = train_teacher(opt, data, fold=1, patches_data=patches)
     assert res["n"] == 4 * 9  # evaluated on the patches loader
+
+
+def test_freeze_mask_and_optimizer(rng):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from multimodal_learning_tpu.train.freeze import (count_frozen,
+                                                      freeze_mask,
+                                                      masked_optimizer)
+    params = {"omic_net": {"w": jnp.ones((4, 4))},
+              "path_net": {"w": jnp.ones((4, 4))}}
+    mask = freeze_mask(params, ["omic_net"])
+    assert mask["omic_net"]["w"] is False and mask["path_net"]["w"] is True
+    assert count_frozen(params, ["omic_net"]) == 16
+    tx = masked_optimizer(optax.sgd(0.1), params, ["omic_net"])
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["omic_net"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["path_net"]["w"]).max()) > 0.0
