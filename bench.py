@@ -32,6 +32,7 @@ SIZE = 512
 N_DATA = 256
 WARMUP = 3
 STEPS = 12
+REPS = 3
 
 
 def _make_batch(rng, train=True):
@@ -91,12 +92,16 @@ def bench_jax() -> dict:
         state, metrics = train_step(state, batches[i % 4], sub, cw)
     jax.block_until_ready(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batches[i % 4], sub, cw)
-    jax.block_until_ready(metrics["loss"])
-    train_time = time.perf_counter() - t0
+    # best-of-REPS to reject contention on the shared dev-rig TPU tunnel
+    # (observed ~1.6x run-to-run swings with identical programs)
+    train_time = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batches[i % 4], sub, cw)
+        jax.block_until_ready(metrics["loss"])
+        train_time = min(train_time, time.perf_counter() - t0)
     train_pps = BATCH * STEPS / train_time
 
     ebatches = [jax.device_put(_make_batch(nprng, train=False))
@@ -104,11 +109,13 @@ def bench_jax() -> dict:
     params, stats = state.params["model"], state.batch_stats
     out, _ = eval_step(params, stats, ebatches[0], key)
     jax.block_until_ready(out.pred_fuse)
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        out, _ = eval_step(params, stats, ebatches[i % 2], key)
-    jax.block_until_ready(out.pred_fuse)
-    eval_time = time.perf_counter() - t0
+    eval_time = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            out, _ = eval_step(params, stats, ebatches[i % 2], key)
+        jax.block_until_ready(out.pred_fuse)
+        eval_time = min(eval_time, time.perf_counter() - t0)
     eval_pps = BATCH * STEPS / eval_time
 
     combined = 2 * BATCH * STEPS / (train_time + eval_time)
