@@ -4,12 +4,21 @@ Runs the flagship multimodal mean-teacher config (paper dims: ResNet18 +
 MaxNet + Kronecker fusion, 512x512 patches, batch 16, pred-KD + CRD bank) on
 the available accelerator and reports steady-state patches/sec for the full
 train step (augment + student fwd + EMA fwd + losses + backward + Adam + EMA
-+ bank update) combined with eval forward.
++ bank update) and the eval forward.
+
+Measurement protocol (shaped by the dev rig's TPU tunnel, which adds ~25 ms
+per host<->device sync, fans independent executions out to a pool, and shows
+~1.6x contention swings):
+- the entire measured run is ONE jitted ``lax.scan`` of N_STEPS steps, so
+  there is exactly one fixed sync overhead per measurement and every
+  iteration is data-dependent (single-chip serial execution by construction);
+- synchronisation is a value fetch (``float()``), not ``block_until_ready``;
+- best-of-REPS rejects pool contention.  The fixed overhead is NOT
+  subtracted — reported numbers are conservative.
 
 Baseline: the same workload shape on PyTorch CPU (the reference repo is
-CUDA-or-CPU torch; this container has torch-CPU).  The torch model is an
-independently written ResNet18+SNN+bilinear-fusion equivalent, measured once
-and cached in ``.bench_baseline.json``.
+CUDA-or-CPU torch; this container has torch-CPU), measured once and cached
+in ``.bench_baseline.json``.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "patches/sec", "vs_baseline": N}
@@ -30,8 +39,9 @@ CACHE = os.path.join(REPO, ".bench_baseline.json")
 BATCH = 16
 SIZE = 512
 N_DATA = 256
-WARMUP = 3
-STEPS = 12
+N_STEPS = 100      # scan length: fixed ~25 ms sync is <=12% of the run
+N_DISTINCT = 1     # one resident batch: per-step augmentation keys already
+                   # make iterations distinct; avoids a 100 MB in-scan gather
 REPS = 3
 
 
@@ -49,6 +59,11 @@ def _make_batch(rng, train=True):
     b["path_views"] = rng.integers(0, 255, (BATCH, views, SIZE, SIZE, 3),
                                    dtype=np.uint8)
     return b
+
+
+def _stack_batches(rng, train):
+    bs = [_make_batch(rng, train) for _ in range(N_DISTINCT)]
+    return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
 
 
 def bench_jax() -> dict:
@@ -74,51 +89,63 @@ def bench_jax() -> dict:
     sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
               "x_omic": jnp.zeros((1, 80))}
     state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
-    train_step = build_teacher_train_step(opt, model, tx)
+    train_step_fn = build_teacher_train_step(opt, model, tx)
     eval_step = build_eval_step(opt, model)
 
     nprng = np.random.default_rng(0)
-    # batches live on device before timing: the real input pipeline
-    # (PrefetchLoader) overlaps H2D with compute, so steady-state throughput
-    # is compute-bound; timing the transfer here would measure the dev-rig's
-    # tunnel bandwidth instead of the framework.
-    batches = [jax.device_put(_make_batch(nprng)) for _ in range(4)]
-    key = jax.random.PRNGKey(1)
+    tbatches = jax.device_put(_stack_batches(nprng, train=True))
+    ebatches = jax.device_put(_stack_batches(nprng, train=False))
     cw = jnp.asarray(0.1)
 
-    # warmup/compile
-    for i in range(WARMUP):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batches[i % 4], sub, cw)
-    jax.block_until_ready(metrics["loss"])
+    def train_chain(state, key, n):
+        def body(carry, i):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            batch = jax.tree_util.tree_map(
+                lambda x: x[i % N_DISTINCT], tbatches)
+            st, metrics = train_step_fn(st, batch, sub, cw)
+            return (st, k), metrics["loss"]
+        (state, _), losses = jax.lax.scan(body, (state, key),
+                                          jnp.arange(n))
+        return state, losses[-1]
 
-    # best-of-REPS to reject contention on the shared dev-rig TPU tunnel
-    # (observed ~1.6x run-to-run swings with identical programs)
+    train_chain_j = jax.jit(train_chain, static_argnames=("n",),
+                            donate_argnums=(0,))
+    state, loss = train_chain_j(state, jax.random.PRNGKey(1), 2)  # compile
+    float(loss)
     train_time = float("inf")
-    for _ in range(REPS):
+    for rep in range(REPS):
+        k = jax.random.PRNGKey(100 + rep)
         t0 = time.perf_counter()
-        for i in range(STEPS):
-            key, sub = jax.random.split(key)
-            state, metrics = train_step(state, batches[i % 4], sub, cw)
-        jax.block_until_ready(metrics["loss"])
+        state, loss = train_chain_j(state, k, N_STEPS)
+        float(loss)
         train_time = min(train_time, time.perf_counter() - t0)
-    train_pps = BATCH * STEPS / train_time
+    train_pps = BATCH * N_STEPS / train_time
 
-    ebatches = [jax.device_put(_make_batch(nprng, train=False))
-                for _ in range(2)]
     params, stats = state.params["model"], state.batch_stats
-    out, _ = eval_step(params, stats, ebatches[0], key)
-    jax.block_until_ready(out.pred_fuse)
-    eval_time = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            out, _ = eval_step(params, stats, ebatches[i % 2], key)
-        jax.block_until_ready(out.pred_fuse)
-        eval_time = min(eval_time, time.perf_counter() - t0)
-    eval_pps = BATCH * STEPS / eval_time
 
-    combined = 2 * BATCH * STEPS / (train_time + eval_time)
+    def eval_chain(params, stats, init_tok, n):
+        def body(tok, i):
+            batch = jax.tree_util.tree_map(
+                lambda x: x[i % N_DISTINCT], ebatches)
+            batch = dict(batch)
+            batch["path_views"] = batch["path_views"] + tok.astype(jnp.uint8)
+            out, _ = eval_step(params, stats, batch, jax.random.PRNGKey(0))
+            return jnp.sum(out.pred_fuse) * 1e-12, jnp.sum(out.pred_fuse)
+        _, sums = jax.lax.scan(body, init_tok, jnp.arange(n))
+        return jnp.sum(sums)
+
+    eval_chain_j = jax.jit(eval_chain, static_argnames=("n",))
+    float(eval_chain_j(params, stats, jnp.asarray(0.0), 2))  # compile
+    eval_time = float("inf")
+    for rep in range(REPS):
+        tok = jnp.asarray((rep + 1) * 1e-9)
+        t0 = time.perf_counter()
+        float(eval_chain_j(params, stats, tok, N_STEPS))
+        eval_time = min(eval_time, time.perf_counter() - t0)
+    eval_pps = BATCH * N_STEPS / eval_time
+
+    combined = 2 * BATCH * N_STEPS / (train_time + eval_time)
     return {"train_pps": train_pps, "eval_pps": eval_pps,
             "combined_pps": combined}
 
