@@ -90,8 +90,43 @@ class _GatedUnit(nn.Module):
         return nn.Dropout(self.dropout_rate)(o, deterministic=not train)
 
 
+class _KronEncoder1(nn.Module):
+    """encoder1 of the Kronecker fusion: owns the [(d1)(d2), mmhid] Linear
+    params (converter-compatible naming) and branches between the reference
+    einsum path (training: dropout applies to the Kronecker vector,
+    ``fusion.py:59``) and the fused Pallas contraction (eval) that never
+    materialises the vector (``ops/kron_fusion.py``)."""
+    d1p: int   # d1 + 1
+    d2p: int   # d2 + 1
+    mmhid: int
+    dropout_rate: float
+    pallas_eval: bool
+
+    @nn.compact
+    def __call__(self, o1, o2, train: bool):
+        kernel = self.param("kernel", max_init,
+                            (self.d1p * self.d2p, self.mmhid))
+        bias = self.param("bias", nn.initializers.zeros, (self.mmhid,))
+        if self.pallas_eval and not train:
+            from ..ops.kron_fusion import kron_matmul
+            # Dense kernel rows are row-major over (i, j) -> kernel layout
+            # [d2+1, d1+1, K] where W[j, i, k] pairs o1[:, i] * o2[:, j]
+            w3 = kernel.reshape(self.d1p, self.d2p,
+                                self.mmhid).transpose(1, 0, 2)
+            return kron_matmul(o1, o2, w3, bias)
+        o12 = jnp.einsum("bi,bj->bij", o1, o2).reshape(o1.shape[0], -1)
+        o12 = nn.Dropout(self.dropout_rate)(o12, deterministic=not train)
+        return o12 @ kernel + bias
+
+
 class BilinearFusion(nn.Module):
-    """Pathomic Kronecker fusion ("pofusion", ``fusion.py:6-63``)."""
+    """Pathomic Kronecker fusion ("pofusion", ``fusion.py:6-63``).
+
+    ``pallas_eval=True`` routes the eval-time encoder1 contraction through
+    the fused Pallas kernel (``ops/kron_fusion.py``), which never
+    materialises the (d1+1)(d2+1) Kronecker vector.  Training keeps the
+    einsum path because the reference applies dropout to the Kronecker
+    vector itself (``fusion.py:59``)."""
     skip: int = 1
     use_bilinear: int = 1
     gate1: int = 1
@@ -102,6 +137,7 @@ class BilinearFusion(nn.Module):
     scale_dim2: int = 1
     mmhid: int = 64
     dropout_rate: float = 0.25
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, vec1, vec2, train: bool = True):
@@ -118,12 +154,8 @@ class BilinearFusion(nn.Module):
         drop = nn.Dropout(self.dropout_rate)
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
                                          momentum=0.9, name=name)
-        # dropout acts on the Kronecker vector itself (fusion.py:59), so the
-        # outer product is materialised; XLA fuses the outer product, the
-        # dropout mask, and the encoder1 matmul into one kernel.
-        o12 = jnp.einsum("bi,bj->bij", o1, o2).reshape(o1.shape[0], -1)
-        out = _dense_max(self.mmhid, "encoder1")(
-            drop(o12, deterministic=not train))
+        out = _KronEncoder1(d1 + 1, d2 + 1, self.mmhid, self.dropout_rate,
+                            self.pallas_eval, name="encoder1")(o1, o2, train)
         out = drop(nn.relu(norm("encoder1_bn")(out)), deterministic=not train)
         if self.skip:
             out = jnp.concatenate([out, o1, o2], axis=1)

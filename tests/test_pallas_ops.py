@@ -58,3 +58,23 @@ def test_kron_matmul_grads(rng):
     for a, c in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_bilinear_fusion_pallas_eval_matches_einsum(rng):
+    """pallas_eval=True (interpret mode here) must reproduce the einsum
+    eval path exactly."""
+    import jax
+    from multimodal_learning_tpu.models import BilinearFusion
+    d, mm = 15, 16  # d+1 = 16
+    v1 = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    v2 = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    ref_mod = BilinearFusion(dim1=d, dim2=d, mmhid=mm, skip=1,
+                             pallas_eval=False)
+    vs = ref_mod.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, v1, v2, train=True)
+    ref = ref_mod.apply(vs, v1, v2, train=False)
+    fast_mod = BilinearFusion(dim1=d, dim2=d, mmhid=mm, skip=1,
+                              pallas_eval=True)
+    out = fast_mod.apply(vs, v1, v2, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)

@@ -186,3 +186,93 @@ def test_bilinear_fusion_forward_parity(rng):
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(v1), jnp.asarray(v2), train=False)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-5)
+
+
+def test_full_pathomic_checkpoint_import(rng):
+    """Full PathomicNet state_dict (path_net/omic_net/fusion/classifier)
+    -> PathomicModel, fused logits parity."""
+    from multimodal_learning_tpu.models import PathomicModel
+    from multimodal_learning_tpu.models.import_torch import convert_pathomic
+
+    d, mm = 8, 12
+
+    class TorchMaxNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            enc = []
+            for a, b in [(80, 64), (64, 48), (48, 32), (32, d)]:
+                enc.append(tnn.Sequential(tnn.Linear(a, b), tnn.ELU(),
+                                          tnn.AlphaDropout(0.25)))
+            self.encoder = tnn.Sequential(*enc)
+            self.classifier = tnn.Sequential(tnn.Linear(d, 3))
+
+        def forward(self, x):
+            f = torch.relu(self.encoder(x))
+            return f, self.classifier(f)
+
+    class TorchBF(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear_h1 = tnn.Sequential(tnn.Linear(d, d), tnn.ReLU())
+            self.linear_z1 = tnn.Bilinear(d, d, d)
+            self.linear_o1 = tnn.Sequential(tnn.Linear(d, d), tnn.ReLU(),
+                                            tnn.Dropout(0.25))
+            self.linear_h2 = tnn.Sequential(tnn.Linear(d, d), tnn.ReLU())
+            self.linear_z2 = tnn.Bilinear(d, d, d)
+            self.linear_o2 = tnn.Sequential(tnn.Linear(d, d), tnn.ReLU(),
+                                            tnn.Dropout(0.25))
+            self.encoder1 = tnn.Sequential(tnn.Linear((d + 1) ** 2, mm),
+                                           tnn.BatchNorm1d(mm), tnn.ReLU(),
+                                           tnn.Dropout(0.25))
+            self.encoder2 = tnn.Sequential(tnn.Linear(mm + 2 * d + 2, mm),
+                                           tnn.BatchNorm1d(mm), tnn.ReLU(),
+                                           tnn.Dropout(0.25))
+
+        def forward(self, v1, v2):
+            v1, v2 = torch.relu(v1), torch.relu(v2)
+            h1 = self.linear_h1(v1)
+            o1 = self.linear_o1(torch.sigmoid(self.linear_z1(v1, v2)) * h1)
+            h2 = self.linear_h2(v2)
+            o2 = self.linear_o2(torch.sigmoid(self.linear_z2(v1, v2)) * h2)
+            ones = torch.ones(o1.shape[0], 1)
+            o1 = torch.cat([o1, ones], 1)
+            o2 = torch.cat([o2, ones], 1)
+            o12 = torch.bmm(o1.unsqueeze(2), o2.unsqueeze(1)).flatten(1)
+            out = self.encoder1(o12)
+            return self.encoder2(torch.cat([out, o1, o2], 1))
+
+    class TorchPathomic(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.path_net = TorchResNet18(path_dim=d, num_classes=3)
+            self.omic_net = TorchMaxNet()
+            self.fusion = TorchBF()
+            self.classifier = tnn.Sequential(tnn.Linear(mm, 3))
+
+        def forward(self, img, om):
+            _, pf, _ = self.path_net(img)
+            of, _ = self.omic_net(om)
+            return self.classifier(self.fusion(pf, of))
+
+    tm = TorchPathomic().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_pathomic(sd)
+
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    om = rng.normal(size=(2, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2)),
+                 torch.tensor(om)).numpy()
+
+    model = PathomicModel(path_dim=d, omic_dim=d, mmhid=mm, label_dim=3,
+                          skip=1)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      x_path=jnp.asarray(x), x_omic=jnp.asarray(om),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out.hazard_fuse), ref, rtol=2e-3,
+                               atol=5e-4)
