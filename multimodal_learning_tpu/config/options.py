@@ -191,7 +191,10 @@ class Options:
     # --------------------------------------------------- TPU-build additions
     seed: int = 2019                       # reference seeds torch/random with 2019
     #                                        (train_test_MT.py:43-46)
-    data_parallel: int = 0                 # devices in the data mesh; 0 = all
+    data_parallel: int = 0                 # data-mesh devices: 0 = off
+    #                                        (single device), -1 = all
+    #                                        devices, N = first N devices;
+    #                                        batch_size must divide by N
     compute_dtype: str = "float32"         # float32|bfloat16 activations
     host_workers: int = 4                  # decode threads (ref num_workers=4)
     prefetch_depth: int = 2                # device prefetch buffers

@@ -203,12 +203,18 @@ class Loader:
 
 class PrefetchLoader:
     """Wraps a :class:`Loader`, keeping ``depth`` batches on device ahead of
-    the consumer (async H2D; the TPU never waits on decode)."""
+    the consumer (async H2D; the TPU never waits on decode).
+
+    ``device`` may be a single device (default: device 0) or a
+    ``jax.sharding.Sharding`` — with a batch sharding over a data mesh each
+    array's leading axis is split across the mesh during the H2D transfer
+    (the DataParallel scatter, ``train_test_MT.py:62-64``, done on the host
+    thread instead of a device-side broadcast+split)."""
 
     def __init__(self, loader: Loader, depth: int = 2, device=None):
         self.loader = loader
         self.depth = depth
-        self.device = device or jax.devices()[0]
+        self.device = device if device is not None else jax.devices()[0]
 
     def __len__(self):
         return len(self.loader)

@@ -45,3 +45,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def setup_data_parallel(opt, state: Any):
+    """Driver-side data-parallel wiring (replaces the reference's
+    ``model = nn.DataParallel(model)``, ``train_test_MT.py:62-64``).
+
+    ``opt.data_parallel``: 0 = off (single device), -1 = all devices,
+    N > 0 = first N devices.  Returns ``(state, train_sharding)`` where
+    ``train_sharding`` is a batch sharding to hand to ``PrefetchLoader`` (or
+    None when off) and ``state`` is replicated over the mesh.
+    """
+    if not opt.data_parallel:
+        return state, None
+    mesh = data_mesh(0 if opt.data_parallel < 0 else opt.data_parallel)
+    if opt.batch_size % mesh.size:
+        raise ValueError(
+            f"--batch_size {opt.batch_size} must be divisible by the "
+            f"data-parallel mesh size {mesh.size}")
+    state = jax.device_put(state, replicated_sharding(mesh))
+    return state, batch_sharding(mesh)

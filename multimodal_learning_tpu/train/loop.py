@@ -169,6 +169,11 @@ def train_teacher(opt, data: Dict, fold: int,
         start_epoch = done_epoch + 1
         log(f"[fold {fold}] resumed from epoch {done_epoch}")
 
+    # --data_parallel: replicate state over a 1-D mesh, shard batches over it
+    # (the DataParallel replacement, train_test_MT.py:62-64 / SURVEY §2.7)
+    from ..parallel.mesh import setup_data_parallel
+    state, train_sharding = setup_data_parallel(opt, state)
+
     for epoch in range(start_epoch, total_epochs + 1):
         crd_weight = 0.01 if epoch >= 15 else opt.CRD_weight
         t0 = time.time()
@@ -179,10 +184,13 @@ def train_teacher(opt, data: Dict, fold: int,
         step_fn = (masked_step if use_masking and epoch > opt.start_epoch
                    else train_step)
         for batch_idx, batch in enumerate(
-                PrefetchLoader(train_loader, depth=opt.prefetch_depth)):
+                PrefetchLoader(train_loader, depth=opt.prefetch_depth,
+                               device=train_sharding)):
             if use_tsvd:
                 batch = dict(batch)
-                batch["tsvd_update"] = jnp.asarray(
+                # host numpy scalar: uncommitted, so jit replicates it over
+                # whatever mesh the state lives on
+                batch["tsvd_update"] = np.asarray(
                     batch_idx % opt.aux_iter == 0)
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub,

@@ -413,6 +413,15 @@ def train_student(opt, data: Dict, fold: int,
     # eval the path-only student
     eval_opt = opt.replace(mode="path")
     eval_step = build_eval_step(eval_opt, model)
+
+    # --data_parallel: replicate student state + frozen teacher over the
+    # mesh, shard train batches (train_test_MT.py:62-64 / SURVEY §2.7).
+    # Replicate the teacher BEFORE the step closes over it.
+    from ..parallel.mesh import replicated_sharding, setup_data_parallel
+    state, train_sharding = setup_data_parallel(opt, state)
+    if train_sharding is not None:
+        teacher_vars = jax.device_put(
+            teacher_vars, replicated_sharding(train_sharding.mesh))
     step = build_student_train_step(opt, model, teacher_model, teacher_vars,
                                     tx)
 
@@ -425,7 +434,8 @@ def train_student(opt, data: Dict, fold: int,
     for epoch in range(opt.epoch_count, total_epochs + 1):
         t0 = time.time()
         agg: Dict[str, float] = {}
-        for batch in PrefetchLoader(train_loader, depth=opt.prefetch_depth):
+        for batch in PrefetchLoader(train_loader, depth=opt.prefetch_depth,
+                                    device=train_sharding):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch, sub,
                                   jnp.asarray(epoch / max(opt.niter_decay, 1)))

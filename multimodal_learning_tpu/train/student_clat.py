@@ -227,6 +227,14 @@ def train_clat_student(opt, data: Dict, fold: int,
                                opt.input_size_path)
     eval_opt = opt.replace(mode="path")
     eval_step = build_eval_step(eval_opt, model)
+
+    # --data_parallel wiring (see train/student.py); teacher replicated
+    # before the step closes over it
+    from ..parallel.mesh import replicated_sharding, setup_data_parallel
+    state, train_sharding = setup_data_parallel(opt, state)
+    if train_sharding is not None:
+        teacher_vars = jax.device_put(
+            teacher_vars, replicated_sharding(train_sharding.mesh))
     step = build_clat_student_step(opt, model, teacher_model, teacher_vars,
                                    tx, class_mask)
 
@@ -239,7 +247,8 @@ def train_clat_student(opt, data: Dict, fold: int,
         t0 = time.time()
         agg: Dict[str, float] = {}
         reweight_on = jnp.asarray(epoch >= opt.start_reweight)
-        for batch in PrefetchLoader(train_loader, depth=opt.prefetch_depth):
+        for batch in PrefetchLoader(train_loader, depth=opt.prefetch_depth,
+                                    device=train_sharding):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch, sub, reweight_on)
             for k, v in metrics.items():

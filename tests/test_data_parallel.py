@@ -1,0 +1,43 @@
+"""--data_parallel wiring: the full teacher driver trains over the 8-device
+virtual CPU mesh with the same loss trajectory as single-device (the
+reference's DataParallel path, ``train_test_MT.py:62-64`` / SURVEY §2.7)."""
+import numpy as np
+import pytest
+
+from multimodal_learning_tpu.config import Options
+from multimodal_learning_tpu.data import make_synthetic_splits
+from multimodal_learning_tpu.train.loop import train_teacher
+
+
+def _opt(dp, name):
+    return Options(
+        mode="pathomic", task="grad", label_dim=3, niter=0, niter_decay=2,
+        batch_size=8, input_size_path=32, path_dim=16, omic_dim=16, mmhid=16,
+        feat_dim=8, s_dim=16, t_dim=16, CRD_distill=1, pred_distill=1,
+        num_teachers=2, pos_mode="exact", nce_p=1, nce_k=8, lr=5e-3,
+        verbose=0, checkpoints_dir="/tmp/mml_tpu_test_ckpt", host_workers=2,
+        seed=0, reg_type="none", dropout_rate=0.0, data_parallel=dp,
+        model_name=name)
+
+
+def test_teacher_data_parallel_matches_single_device():
+    data = make_synthetic_splits(n_train=32, n_test=16, roi_size=32, seed=7)
+    logs1, logs8 = [], []
+    res1, _ = train_teacher(_opt(0, "dp_t1"), data, fold=1,
+                            log=lambda m: logs1.append(m))
+    res8, _ = train_teacher(_opt(8, "dp_t8"), data, fold=1,
+                            log=lambda m: logs8.append(m))
+    assert np.isfinite(res8["loss"])
+    # same data order / RNG stream on both paths: the sharded run's final
+    # eval loss must track the single-device run (global-BN psums and grad
+    # reductions are semantically invisible; tolerance covers
+    # float-reduction-order drift amplified by two epochs of Adam)
+    assert res8["loss"] == pytest.approx(res1["loss"], rel=0.05)
+    assert res8["acc_fuse"] == pytest.approx(res1["acc_fuse"], abs=0.25)
+
+
+def test_data_parallel_rejects_indivisible_batch():
+    data = make_synthetic_splits(n_train=30, n_test=8, roi_size=32, seed=7)
+    opt = _opt(8, "dp_bad").replace(batch_size=6)
+    with pytest.raises(ValueError, match="divisible"):
+        train_teacher(opt, data, fold=1)
