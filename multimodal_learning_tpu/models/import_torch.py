@@ -128,6 +128,103 @@ def convert_pathomic(sd: Dict) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested dict -> {'a/b/c': array} (npz-friendly)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict:
+    out: Dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def save_pretrained_npz(path: str, params: Dict, batch_stats: Dict) -> None:
+    """Write converted weights as a flat .npz with ``params/…`` and
+    ``batch_stats/…`` key prefixes (the ``--pretrained_path`` format)."""
+    flat = {**flatten_tree({"params": params}),
+            **flatten_tree({"batch_stats": batch_stats})}
+    np.savez(path, **flat)
+
+
+def load_pretrained_npz(path: str) -> Tuple[Dict, Dict]:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    tree = unflatten_tree(flat)
+    return tree.get("params", {}), tree.get("batch_stats", {})
+
+
+def merge_pretrained(target: Dict, source: Dict, strict_trunk: bool = False
+                     ) -> Tuple[Dict, int]:
+    """Recursively overwrite ``target`` leaves with same-path, same-shape
+    ``source`` leaves (the flax analogue of torch's
+    ``load_state_dict(strict=False)``, which the reference relies on to put
+    torchvision ImageNet weights under its custom heads,
+    ``MICCAI-2022/resnets.py:275-284``).  Returns (merged, n_leaves)."""
+    merged: Dict = {}
+    n = 0
+    for k, v in target.items():
+        s = source.get(k)
+        if isinstance(v, dict):
+            if isinstance(s, dict):
+                merged[k], dn = merge_pretrained(v, s, strict_trunk)
+                n += dn
+            else:
+                merged[k] = v
+        elif s is not None and not isinstance(s, dict) \
+                and tuple(np.shape(s)) == tuple(np.shape(v)):
+            merged[k] = np.asarray(s, dtype=np.asarray(v).dtype)
+            n += 1
+        else:
+            merged[k] = v
+    return merged, n
+
+
+def apply_pretrained(opt, params: Dict, batch_stats: Dict, log=None
+                     ) -> Tuple[Dict, Dict]:
+    """Consume ``--pretrained_path``: merge a converted ResNet18 .npz (see
+    ``cli/convert_torch``) into the path branch of a freshly-initialised
+    model.  For pathomic models the weights land under ``path_net``; for
+    path-only models at the root.  Heads (``fc_new*``) are merged only when
+    present in the file with matching shapes (a reference checkpoint), so a
+    torchvision ImageNet file initialises the trunk and leaves the custom
+    heads random — exactly the reference semantics."""
+    if not getattr(opt, "pretrained_path", ""):
+        return params, batch_stats
+    src_params, src_stats = load_pretrained_npz(opt.pretrained_path)
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    if "path_net" in params:  # pathomic container
+        params["path_net"], n_p = merge_pretrained(
+            params["path_net"], src_params)
+        batch_stats["path_net"], n_s = merge_pretrained(
+            batch_stats.get("path_net", {}), src_stats)
+    else:  # path-only ResNet student/teacher
+        params, n_p = merge_pretrained(params, src_params)
+        batch_stats, n_s = merge_pretrained(batch_stats, src_stats)
+    if n_p == 0:
+        raise ValueError(
+            f"--pretrained_path {opt.pretrained_path}: no parameter matched "
+            "the model tree (wrong architecture or un-converted file? "
+            "run cli/convert_torch first)")
+    if log:
+        log(f"loaded {n_p} param / {n_s} batch-stat tensors from "
+            f"{opt.pretrained_path}")
+    return params, batch_stats
+
+
 def load_torch_state_dict(path: str) -> Dict:
     """Load a .pt/.pth file into {name: numpy} (CPU, no grad)."""
     import torch

@@ -155,8 +155,13 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
              else sample_batch["x_omic"])
         variables = model.init({"params": k_model, "dropout": k_drop},
                                x, train=True)
-    params = {"model": variables["params"]}
-    batch_stats = variables.get("batch_stats", {})
+    # --pretrained_path: ImageNet (or reference-checkpoint) ResNet18 weights
+    # into the path branch (MICCAI-2022/resnets.py:275-284)
+    from ..models.import_torch import apply_pretrained
+    model_params, batch_stats = apply_pretrained(
+        opt, dict(variables["params"]), dict(variables.get("batch_stats", {})))
+    params = {"model": jax.tree_util.tree_map(jnp.asarray, model_params)}
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     banks = None
     if opt.CRD_distill == 1:
         embed = Embed(opt.feat_dim)

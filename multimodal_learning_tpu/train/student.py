@@ -56,8 +56,13 @@ def init_student_state(opt, model, tx, rng, n_data: int,
     x = jnp.zeros((1, input_size, input_size, 3))
     variables = model.init({"params": k_model, "dropout": k_drop}, x,
                            train=True)
-    params = {"model": variables["params"]}
-    batch_stats = variables.get("batch_stats", {})
+    # --pretrained_path: ImageNet ResNet18 trunk into the path student
+    # (reference fine-tunes from torchvision weights, resnets.py:275-284)
+    from ..models.import_torch import apply_pretrained
+    model_params, batch_stats = apply_pretrained(
+        opt, dict(variables["params"]), dict(variables.get("batch_stats", {})))
+    params = {"model": jax.tree_util.tree_map(jnp.asarray, model_params)}
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     # two CRD criteria: fuse-teacher bank + EMA-teacher bank (:202-208);
     # student embeds are single-Linear (CRD_loss.py:256-267)
     embed = Embed(opt.feat_dim, mlp=False)
