@@ -201,6 +201,21 @@ class Options:
     pretrained_path: str = ""              # path to converted ResNet18 weights
     #                                        (.npz) — replaces the reference's
     #                                        torchvision .pth load (resnets.py:281)
+    teacher_bn: str = "batch"              # frozen-teacher forward mode in the
+    #                                        student flows: "batch" = reference
+    #                                        (fix_model.train() under no_grad,
+    #                                        batch-stats BN + live dropout,
+    #                                        train_test_path_multi_distill.py:232);
+    #                                        "running" = eval-mode with the
+    #                                        saved running stats (TPU-build
+    #                                        alternative, better behaved at
+    #                                        small batch)
+    CRD_gate: bool = False                 # weighted_CRDLoss loss-comparison
+    #                                        gate (CRD_loss.py:8-50, dead in
+    #                                        the reference): only the side
+    #                                        whose per-sample task loss is
+    #                                        currently larger receives the
+    #                                        CRD gradient
     synthetic_data: bool = False           # fabricate a miniature dataset (tests)
     resume: bool = False                   # resume a fold from its latest
     #                                        epoch snapshot (the reference has

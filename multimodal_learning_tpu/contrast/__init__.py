@@ -1,2 +1,3 @@
 from .crd import (CRDBank, Embed, bank_update, contrast_loss,
-                  crd_scores, crd_scores_select, init_bank, set_z)
+                  crd_gate_weights, crd_scores, crd_scores_select, init_bank,
+                  set_z, weighted_contrast_loss)

@@ -255,3 +255,22 @@ def contrast_loss(x: jnp.ndarray, n_data: int, n_pos: int = 1,
     if per_sample:
         return sample_loss
     return jnp.sum(sample_loss) / bsz
+
+
+def weighted_contrast_loss(x: jnp.ndarray, sample_weights: jnp.ndarray,
+                           n_data: int) -> jnp.ndarray:
+    """``weighted_ContrastLoss`` (``MICCAI-2022/CL_utils/CRD_loss.py:53-82``):
+    the per-sample NCE loss scaled by a 0/1 gate weight, summed and divided
+    by the batch size."""
+    per = contrast_loss(x, n_data, n_pos=1, per_sample=True)
+    return jnp.sum(sample_weights * per) / x.shape[0]
+
+
+def crd_gate_weights(loss_s: jnp.ndarray, loss_t: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``weighted_CRDLoss`` comparison gate (``CRD_loss.py:44-46``): the
+    student-anchored side trains only where the student's per-sample loss
+    exceeds the teacher's, and vice versa."""
+    s_w = (loss_s > loss_t).astype(jnp.float32)
+    t_w = (loss_t > loss_s).astype(jnp.float32)
+    return jax.lax.stop_gradient(s_w), jax.lax.stop_gradient(t_w)

@@ -137,6 +137,12 @@ def _branch_feat(opt, out: PathomicOutput):
     return out.path_feat if opt.mode == "path" else out.omic_feat
 
 
+def _branch_pred(opt, out: PathomicOutput):
+    if opt.mode == "pathomic":
+        return out.pred_fuse
+    return out.pred_path if opt.mode == "path" else out.pred_omic
+
+
 def init_teacher_state(opt, model, tx, rng, n_data: int,
                        sample_batch) -> TrainState:
     """Initialise params / EMA / banks / embeds for the teacher flow."""
@@ -242,6 +248,15 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
 
     embed = Embed(opt.feat_dim)
     use_images = opt.mode in ("path", "pathomic")
+    if opt.supcon_distill == 1 and opt.task != "grad":
+        raise NotImplementedError(
+            "--supcon_distill needs class labels (task=grad); the flag is "
+            "parsed-but-dead in the reference (MICCAI-2022/options.py:98)")
+    if opt.CRD_gate and (opt.task != "grad" or opt.pos_mode
+                         not in ("exact", "relax")):
+        raise NotImplementedError(
+            "--CRD_gate implements the single-positive weighted_CRDLoss "
+            "(CRD_loss.py:8-50): task=grad with pos_mode exact/relax only")
 
     def train_step(state: TrainState, batch, key, crd_weight):
         k_aug, k_drop, k_drop_ema, k_drop_m = jax.random.split(key, 4)
@@ -293,8 +308,25 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
                 # semantics) instead of the reference's shape crash.
                 n_pos = (1 if opt.task == "surv"
                          or opt.pos_mode in ("exact", "relax") else opt.nce_p)
-                loss_crd = (contrast_loss(out_s, opt.n_data, n_pos=n_pos)
-                            + contrast_loss(out_t, opt.n_data, n_pos=n_pos))
+                if opt.CRD_gate:
+                    # weighted_CRDLoss (CRD_loss.py:8-50, dead in the
+                    # reference): gate each anchor side by whose per-sample
+                    # task loss is larger (log-prob preds -> per-sample NLL)
+                    from ..contrast import (crd_gate_weights,
+                                            weighted_contrast_loss)
+                    pred_s = _branch_pred(opt, out)
+                    pred_t = _branch_pred(opt, ema_out)
+                    g_col = batch["g"][:, None]
+                    ls = -jnp.take_along_axis(pred_s, g_col, 1)[:, 0]
+                    lt = -jnp.take_along_axis(pred_t, g_col, 1)[:, 0]
+                    s_w, t_w = crd_gate_weights(ls, lt)
+                    loss_crd = (
+                        weighted_contrast_loss(out_s, s_w, opt.n_data)
+                        + weighted_contrast_loss(out_t, t_w, opt.n_data))
+                else:
+                    loss_crd = (contrast_loss(out_s, opt.n_data, n_pos=n_pos)
+                                + contrast_loss(out_t, opt.n_data,
+                                                n_pos=n_pos))
                 loss = loss + crd_weight * loss_crd
                 metrics["loss_CRD"] = crd_weight * loss_crd
                 new_banks = dict(state.banks)
@@ -321,6 +353,22 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
 
             if opt.orth_loss and opt.mode == "pathomic":
                 loss = loss + orth_loss(out.path_feat, out.omic_feat)
+
+            if opt.supcon_distill == 1:
+                # --supcon_distill is parsed-but-dead in the reference
+                # (options.py:98-99, the loss never imported); here it gets
+                # live semantics: SupCon over the L2-normalised student/EMA
+                # branch embeddings with the class labels
+                from ..losses import supcon_loss
+                f_a = _branch_feat(opt, out)
+                f_b = _branch_feat(opt, ema_out)
+                norm = lambda f: f / jnp.maximum(
+                    jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+                loss_sc = opt.supcon_weight * supcon_loss(
+                    jnp.stack([norm(f_a), norm(f_b)], axis=1),
+                    labels=batch["g"])
+                loss = loss + loss_sc
+                metrics["loss_supcon"] = loss_sc
 
             if masking:
                 # CLAT stage-1 comprehensive learning: saliency masks from

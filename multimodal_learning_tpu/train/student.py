@@ -111,9 +111,17 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
     embed = Embed(opt.feat_dim, mlp=False)
     n_kd = 4 if (opt.distill == "crd" and opt.num_teachers == 2) else \
         (2 if opt.num_teachers == 2 else 1)
+    known_weightings = ("GK_refine", "momentum_AEKD", "SVM",
+                        "GK_refine_param")
+    if opt.assign_weights and opt.loss_weighting not in known_weightings:
+        raise NotImplementedError(
+            f"--loss_weighting {opt.loss_weighting}: supported values are "
+            f"{known_weightings} (the reference's RLW/UW revision options "
+            "are unimplemented there too, options_new.py:18-19)")
 
     def step(state: TrainState, batch, key, epoch_frac):
-        k_aug, k_drop, k_drop_ema, k_sel1, k_sel2 = jax.random.split(key, 5)
+        k_aug, k_drop, k_drop_ema, k_drop_t, k_sel1, k_sel2 = \
+            jax.random.split(key, 6)
         views = augment_views(k_aug, batch["path_views"])
         x1, x2 = views[:, 0], views[:, 1]
 
@@ -126,12 +134,18 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
         _, ema_path_feat, ema_logit_path, ema_pred_path = \
             jax.tree_util.tree_map(jax.lax.stop_gradient, ema_raw)
 
-        # frozen multimodal teacher (train() mode in the reference, :232 —
-        # i.e. batch statistics; we run it in eval mode with its saved
-        # running stats, which is the better-behaved choice and changes only
-        # the teacher's BN source)
-        t_out = teacher_model.apply(teacher_vars, x_path=x1,
-                                    x_omic=batch["omic"], train=False)
+        # frozen multimodal teacher.  --teacher_bn batch (default) mirrors
+        # the reference's fix_model.train() under no_grad (:232): BN uses
+        # batch statistics and dropout stays live (stats advance is
+        # discarded — the reference's fix_model running stats are never
+        # saved again either); "running" evaluates with saved stats.
+        if opt.teacher_bn == "batch":
+            t_out, _ = teacher_model.apply(
+                teacher_vars, x_path=x1, x_omic=batch["omic"], train=True,
+                rngs={"dropout": k_drop_t}, mutable=["batch_stats"])
+        else:
+            t_out = teacher_model.apply(teacher_vars, x_path=x1,
+                                        x_omic=batch["omic"], train=False)
         t_out = jax.tree_util.tree_map(
             lambda x: None if x is None else jax.lax.stop_gradient(x),
             t_out, is_leaf=lambda x: x is None)
@@ -270,6 +284,58 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                     # AEKD_loss_v2 binary gating (:74-141)
                     loss_KD = aekd_v2_gate(grads[:-1], grads[-1], kd_vals)
                     scale = jnp.zeros(len(grads))
+                elif opt.loss_weighting == "SVM":
+                    # one-class-SVM loss weighting (the reference's
+                    # commented alternative, ..._v2.py:156-158 +
+                    # CL_utils/optimization.py:16-57).  sklearn's SMO is
+                    # host-only, so the weights come through a pure_callback
+                    # on the stacked per-loss feature gradients.
+                    from ..gradweight.svm import find_optimal_svm
+                    import numpy as _np
+
+                    def _svm_host(g):
+                        return find_optimal_svm(
+                            _np.asarray(g), nu=0.5,
+                            is_norm=opt.svm_norm).astype(_np.float32)
+
+                    gstack = jnp.stack([g.astype(jnp.float32)
+                                        for g in grads])  # [m, B, D]
+                    scale = jax.pure_callback(
+                        _svm_host,
+                        jax.ShapeDtypeStruct((len(grads),), jnp.float32),
+                        gstack)
+                    loss_KD = aekd_total(scale, kd_vals)
+                elif opt.loss_weighting == "GK_refine_param":
+                    # MIA-2022 parameter-space GK_refine (..._v2.py:50-86,
+                    # commented live call :472): gradients of each KD loss +
+                    # CE wrt ALL student params except fc_new2 — one full
+                    # backward per loss, exactly like the reference
+                    from ..gradweight import gk_refine_param_space
+
+                    def _full(kk):
+                        def fn(mp):
+                            p2 = dict(params)
+                            p2["model"] = mp
+                            raw2, _ = model.apply(
+                                {"params": mp,
+                                 "batch_stats": state.batch_stats},
+                                x1, train=True, rngs={"dropout": k_drop},
+                                mutable=["batch_stats"])
+                            return kd_losses_fn(p2, raw2[1])[kk]
+                        return fn
+
+                    def _ce_full(mp):
+                        raw2, _ = model.apply(
+                            {"params": mp, "batch_stats": state.batch_stats},
+                            x1, train=True, rngs={"dropout": k_drop},
+                            mutable=["batch_stats"])
+                        if opt.task == "surv":
+                            return cox_loss(batch["t"], batch["e"], raw2[3])
+                        return nll_loss(raw2[3], batch["g"])
+
+                    fns_p = [_full(k) for k in kd_keys] + [_ce_full]
+                    scale = gk_refine_param_space(fns_p, params["model"])
+                    loss_KD = aekd_total(scale, kd_vals)
                 elif opt.loss_weighting == "momentum_AEKD":
                     # MIA-2022 momentum AEKD (..._v2.py:89-132, 475); the
                     # reference seeds mo_scale with the first step's scale

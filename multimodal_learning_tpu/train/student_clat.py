@@ -51,9 +51,16 @@ def build_clat_student_step(opt, model, teacher_model, teacher_vars, tx,
     cmask = jnp.asarray(class_mask, jnp.float32)
     alpha = 1.0 if opt.alpha is None else opt.alpha
     beta = 1.0 if opt.beta is None else opt.beta
+    if opt.assign_weights and opt.loss_weighting != "GK_refine":
+        raise NotImplementedError(
+            f"--loss_weighting {opt.loss_weighting}: the CLAT student only "
+            "implements GK_refine — the reference's RLW/UW options are "
+            "unimplemented there too (options_new.py:18-19; "
+            "train_test_path_multi_distill.py:421-424 has no other branch)")
 
     def step(state: TrainState, batch, key, reweight_on):
-        k_aug, k_drop, k_drop_ema, k_c1, k_c2 = jax.random.split(key, 5)
+        k_aug, k_drop, k_drop_ema, k_drop_t, k_c1, k_c2 = \
+            jax.random.split(key, 6)
         views = augment_views(k_aug, batch["path_views"])
         x1, x2 = views[:, 0], views[:, 1]
         bsz = x1.shape[0]
@@ -65,8 +72,15 @@ def build_clat_student_step(opt, model, teacher_model, teacher_vars, tx,
             mutable=["batch_stats"])
         _, ema_path_feat, ema_logit_path, _ = jax.tree_util.tree_map(
             jax.lax.stop_gradient, ema_raw)
-        t_out = teacher_model.apply(teacher_vars, x_path=x1,
-                                    x_omic=batch["omic"], train=False)
+        # frozen teacher: --teacher_bn batch mirrors the reference's
+        # fix_model.train() under no_grad (see train/student.py)
+        if opt.teacher_bn == "batch":
+            t_out, _ = teacher_model.apply(
+                teacher_vars, x_path=x1, x_omic=batch["omic"], train=True,
+                rngs={"dropout": k_drop_t}, mutable=["batch_stats"])
+        else:
+            t_out = teacher_model.apply(teacher_vars, x_path=x1,
+                                        x_omic=batch["omic"], train=False)
         t_out = jax.tree_util.tree_map(
             lambda x: None if x is None else jax.lax.stop_gradient(x),
             t_out, is_leaf=lambda x: x is None)
