@@ -127,6 +127,104 @@ def hazard2grade(hazard: float, p: Sequence[float]) -> int:
     return len(p)
 
 
+def register_predictions(pred_test, split: Dict, split_name: str = "test",
+                         metadata=None) -> List[str]:
+    """The reference's registration-assert dance
+    (``core/utils_analysis.py:114-117``, ``utils.py:599-606``): verify the
+    prediction pickle is aligned with the CV split arrays (and, when the
+    ``data_pd`` metadata frame is given, with the per-patient metadata)
+    before any patient-level aggregation.  Returns the aligned patient ids.
+
+    ``pred_test`` layout (``train_test_MT.py:452-453`` parity, see
+    ``train/loop.py``): [risk_fuse, risk_path, risk_omic, t, e, probs_fuse,
+    probs_path, probs_omic, gt].
+    """
+    d = split[split_name]
+    t, e, g = pred_test[3], pred_test[4], pred_test[8]
+    assert np.array_equal(np.asarray(d["t"], dtype=np.asarray(t).dtype), t), \
+        "prediction pickle is not registered to the split (survival times)"
+    assert np.array_equal(np.asarray(d["e"], dtype=np.asarray(e).dtype), e), \
+        "prediction pickle is not registered to the split (censor flags)"
+    patnames = list(d["x_patname"])
+    if metadata is not None:
+        reg = metadata.loc[patnames]
+        assert np.all(np.asarray(reg["Survival months"], float)
+                      == np.asarray(t, float)), "metadata: survival months"
+        assert np.all(np.asarray(reg["censored"], float)
+                      == np.asarray(e, float)), "metadata: censor flags"
+        if "Grade" in reg:
+            assert np.all(np.asarray(reg["Grade"]) == np.asarray(g)), \
+                "metadata: grade"
+    return patnames
+
+
+def pool_surv_cv(pred_folds: Dict[int, Dict], agg_type: str = "mean",
+                 zscore: bool = False, metadata=None):
+    """``poolSurvTestPD`` (``utils.py:583-615``): per-fold patient-level
+    hazard aggregation (mean/median/max/p0.25/p0.75 columns, one selected),
+    optional per-fold z-scoring, pooled over folds into one DataFrame.
+
+    pred_folds: {fold: {"hazard": [N], "t": [N], "e": [N], "g": [N],
+    "patnames": [N]}}; metadata (optional): data_pd indexed by TCGA ID whose
+    columns (e.g. 'Histomolecular subtype') are joined in.
+    """
+    import pandas as pd
+    pooled = []
+    for k, d in sorted(pred_folds.items()):
+        df = pd.DataFrame({"Hazard": np.asarray(d["hazard"], float),
+                           "Survival months": np.asarray(d["t"], float),
+                           "censored": np.asarray(d["e"], float),
+                           "Grade": np.asarray(d["g"])},
+                          index=list(d["patnames"]))
+        df.index.name = "TCGA ID"
+        fns = {"mean": "mean", "median": "median", "max": "max",
+               "p0.25": p_percentile(0.25), "p0.75": p_percentile(0.75)}
+        agg = df.groupby(level=0).agg(
+            {"Hazard": fns[agg_type.replace("Hazard_", "")],
+             "Survival months": "first", "censored": "first",
+             "Grade": "first"})
+        if metadata is not None:
+            extra = metadata.loc[agg.index].drop(
+                columns=[c for c in ("Survival months", "censored", "Grade")
+                         if c in metadata.columns])
+            agg = agg.join(extra, how="inner")
+        if zscore:
+            agg["Hazard"] = stats.zscore(agg["Hazard"].to_numpy())
+        agg["fold"] = k
+        pooled.append(agg)
+    return pd.concat(pooled)
+
+
+def get_agg_hazard_cv(pred_folds: Dict[int, Dict],
+                      agg_type: str = "mean") -> List[float]:
+    """``getAggHazardCV`` (``utils.py:620-653``): per-fold patient-level
+    C-index after hazard aggregation."""
+    from .metrics import concordance_index
+    result = []
+    for k, d in sorted(pred_folds.items()):
+        hz, t, e, _ = aggregate_patient_hazards(
+            np.asarray(d["hazard"], float), np.asarray(d["t"], float),
+            np.asarray(d["e"], float), d["patnames"],
+            agg_type=agg_type.replace("Hazard_", ""))
+        result.append(concordance_index(t, -hz, e))
+    return result
+
+
+def surv_logrank_by_percentile(hazards: np.ndarray, survtime: np.ndarray,
+                               censor: np.ndarray,
+                               percentile: Sequence[float] = (50,)) -> float:
+    """Percentile-stratified multivariate log-rank p-value — the common core
+    of ``getPValAggSurv_GBMLGG_Binary/Multi`` (``:398-419``, percentiles
+    [50] / [33,66]) and the KIRC variants ``getPValAggSurv_KIRC_Binary/
+    Multi`` (``:921-945``, [50] / [26,51,76]): the KIRC functions are the
+    same machinery with different percentile thresholds, so they are thin
+    parameterizations here (PARITY §2.6)."""
+    from .metrics import multivariate_logrank
+    thresholds = np.percentile(hazards, list(percentile))
+    groups = np.array([hazard2grade(h, thresholds) for h in hazards])
+    return multivariate_logrank(groups, censor, survtime)
+
+
 def save_pred_test(path: str, pred_test) -> None:
     """Pickle the per-fold prediction list (layout
     ``train_test_MT.py:452-453``) for offline analysis."""

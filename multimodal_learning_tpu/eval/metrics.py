@@ -128,3 +128,42 @@ def cox_log_rank(hazards: np.ndarray, censor: np.ndarray,
         return 1.0
     chi2 = o_minus_e ** 2 / var
     return float(stats.chi2.sf(chi2, df=1))
+
+
+def multivariate_logrank(groups: np.ndarray, censor: np.ndarray,
+                         survtime: np.ndarray) -> float:
+    """k-group log-rank test p-value (the lifelines
+    ``multivariate_logrank_test`` used by the reference's percentile
+    stratification plots, ``core/utils_analysis.py:398-419,921-945``).
+    Chi-square statistic with k-1 dof from the per-group observed-minus-
+    expected event counts and their covariance."""
+    groups = np.asarray(groups)
+    labels = np.unique(groups)
+    k = len(labels)
+    if k < 2:
+        return 1.0
+    gidx = np.searchsorted(labels, groups)
+    times = np.unique(survtime[censor == 1])
+    z = np.zeros(k)
+    V = np.zeros((k, k))
+    for tt in times:
+        at_risk = survtime >= tt
+        n = at_risk.sum()
+        if n <= 1:
+            continue
+        d = ((survtime == tt) & (censor == 1)).sum()
+        nj = np.array([(at_risk & (gidx == j)).sum() for j in range(k)],
+                      float)
+        dj = np.array([((survtime == tt) & (censor == 1)
+                        & (gidx == j)).sum() for j in range(k)], float)
+        ej = d * nj / n
+        z += dj - ej
+        frac = nj / n
+        V += (d * (n - d) / (n - 1)) * (np.diag(frac) - np.outer(frac, frac))
+    # drop one group (covariance is singular by construction)
+    z_r, V_r = z[:-1], V[:-1, :-1]
+    try:
+        chi2 = float(z_r @ np.linalg.solve(V_r, z_r))
+    except np.linalg.LinAlgError:
+        return 1.0
+    return float(stats.chi2.sf(chi2, df=k - 1))

@@ -84,6 +84,57 @@ def make_hazard_box_plot(hazards: np.ndarray, grades: np.ndarray,
     plt.close(fig)
 
 
+def make_hazard_swarm_plot(hazards: np.ndarray, grades: np.ndarray,
+                           subtypes: Sequence, out_path: str,
+                           grade_names: Optional[dict] = None):
+    """Z-scored hazard swarm per histomolecular subtype, hue = grade
+    (``makeHazardSwarmPlot``, ``MIA 2022/core/utils_analysis.py:642-674``).
+    Drops the reference's missing-label sentinels (-1) before plotting."""
+    from scipy import stats
+    hazards = np.asarray(hazards, float)
+    grades = np.asarray(grades)
+    subtypes = np.asarray(subtypes)
+    keep = (grades != -1) & (subtypes != -1) & (subtypes != "-1")
+    hazards, grades, subtypes = hazards[keep], grades[keep], subtypes[keep]
+    hazards = stats.zscore(hazards) if len(hazards) > 1 else hazards
+    names = grade_names or {0: "Grade II", 1: "Grade III", 2: "Grade IV"}
+    palette = {"Grade II": "#AFD275", "Grade III": "#7395AE",
+               "Grade IV": "#E7717D"}
+
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=200)
+    ax.set_ylim([-2, 2.5])
+    ax.spines["right"].set_visible(False)
+    ax.spines["top"].set_visible(False)
+    ax.set_yticks(np.arange(-2, 2.001, 1))
+    try:
+        import pandas as pd
+        import seaborn as sns
+        df = pd.DataFrame({
+            "Hazard": hazards,
+            "Grade": [names.get(int(g), str(g)) for g in grades],
+            "Histomolecular subtype": subtypes})
+        sns.swarmplot(x="Histomolecular subtype", y="Hazard", data=df,
+                      hue="Grade", palette=palette, size=4, alpha=0.9, ax=ax)
+        ax.legend(prop={"size": 8})
+    except ImportError:  # jittered categorical scatter fallback
+        cats = list(dict.fromkeys(subtypes))
+        rng = np.random.default_rng(0)
+        colors = list(palette.values())
+        for i, c in enumerate(cats):
+            m = subtypes == c
+            x = i + rng.uniform(-0.25, 0.25, m.sum())
+            ax.scatter(x, hazards[m],
+                       c=[colors[int(g) % 3] for g in grades[m]], s=12,
+                       alpha=0.9)
+        ax.set_xticks(range(len(cats)))
+        ax.set_xticklabels(cats)
+    ax.set_xlabel("")
+    ax.set_ylabel("")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def make_auroc_plot(y_onehot: np.ndarray, probs_by_model: dict,
                     out_path: str, title: str = "micro-average ROC"):
     """Micro-average ROC overlay for several models

@@ -121,3 +121,89 @@ def test_tcga_csv_pipeline(tmp_path):
     assert df.loc["TCGA-01", "Histology"] == 3
     # geneA imputed with median
     assert not df["geneA"].isna().any()
+
+
+def test_multivariate_logrank_separates_groups(rng):
+    from multimodal_learning_tpu.eval.metrics import multivariate_logrank
+    n = 60
+    groups = np.repeat([0, 1, 2], n // 3)
+    t = np.concatenate([rng.exponential(5, n // 3),
+                        rng.exponential(20, n // 3),
+                        rng.exponential(60, n // 3)])
+    e = np.ones(n)
+    p_sep = multivariate_logrank(groups, e, t)
+    p_null = multivariate_logrank(rng.permutation(groups), e, t)
+    assert 0.0 <= p_sep <= 1.0
+    assert p_sep < 0.01
+    assert p_null > p_sep
+
+
+def test_register_predictions_asserts(rng):
+    from multimodal_learning_tpu.eval.analysis import register_predictions
+    n = 12
+    # survival time / censor / grade are patient-level attributes: constant
+    # across a patient's samples (as in the real data_pd)
+    t = np.repeat(rng.exponential(20, n // 3), 3).astype(np.float32)
+    e = np.ones(n, np.float32)
+    g = np.repeat(rng.integers(0, 3, n // 3), 3).astype(np.int32)
+    pats = [f"TCGA-{i // 3:02d}" for i in range(n)]
+    split = {"test": {"t": t, "e": e, "g": g, "x_patname": pats}}
+    pred = [np.zeros(n)] * 3 + [t, e] + [np.zeros((n, 3))] * 3 + [g]
+    assert register_predictions(pred, split) == pats
+    bad = list(pred)
+    bad[3] = t + 1.0
+    with pytest.raises(AssertionError, match="survival times"):
+        register_predictions(bad, split)
+    # metadata registration (data_pd analogue): one row per patient
+    import pandas as pd
+    meta = pd.DataFrame({"Survival months": t[::3], "censored": e[::3],
+                         "Grade": g[::3],
+                         "Histomolecular subtype": ["ODG"] * (n // 3)},
+                        index=pats[::3])
+    register_predictions(pred, split, metadata=meta)
+    meta_bad = meta.copy()
+    meta_bad["Grade"] = (meta_bad["Grade"] + 1) % 3
+    with pytest.raises(AssertionError, match="grade"):
+        register_predictions(pred, split, metadata=meta_bad)
+
+
+def test_pool_and_agg_hazard_cv(rng):
+    from multimodal_learning_tpu.eval.analysis import (get_agg_hazard_cv,
+                                                       pool_surv_cv)
+    folds = {}
+    for k in (1, 2):
+        n = 12
+        pats = [f"TCGA-{k}{i // 3:02d}" for i in range(n)]
+        folds[k] = {"hazard": rng.normal(size=n),
+                    "t": np.repeat(rng.exponential(20, n // 3), 3),
+                    "e": np.ones(n), "g": np.repeat([0, 1, 2, 0], 3),
+                    "patnames": pats}
+    pooled = pool_surv_cv(folds, agg_type="Hazard_mean", zscore=True)
+    assert len(pooled) == 8  # 4 patients per fold
+    assert abs(float(pooled["Hazard"].mean())) < 1e-6  # per-fold z-score
+    cis = get_agg_hazard_cv(folds, agg_type="Hazard_mean")
+    assert len(cis) == 2 and all(0.0 <= c <= 1.0 for c in cis)
+
+
+def test_surv_logrank_percentile_variants(rng):
+    from multimodal_learning_tpu.eval.analysis import \
+        surv_logrank_by_percentile
+    n = 90
+    hz = rng.normal(size=n)
+    t = np.exp(-hz) * 20 + rng.exponential(1, n)
+    e = np.ones(n)
+    for pct in [(50,), (33, 66), (26, 51, 76), (25, 50, 75)]:
+        p = surv_logrank_by_percentile(hz, t, e, percentile=pct)
+        assert 0.0 <= p <= 1.0
+        assert p < 0.05  # hazard is genuinely prognostic here
+
+
+def test_hazard_swarm_plot(tmp_path, rng):
+    from multimodal_learning_tpu.eval.plots import make_hazard_swarm_plot
+    n = 40
+    out = str(tmp_path / "swarm.png")
+    make_hazard_swarm_plot(
+        rng.normal(size=n), rng.integers(0, 3, n),
+        np.array(["idhwt_ATC", "idhmut_ATC", "ODG", "ODG"] * 10), out)
+    import os
+    assert os.path.getsize(out) > 0
