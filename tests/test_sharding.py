@@ -91,3 +91,156 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-equality for the remaining step families (VERDICT r1 item 3).
+# Each family has nontrivial SPMD lowering: CRD bank scatter with sharded
+# indices (student), AEKD vjp cotangent pulls + per-sample GK weights (student
+# / CLAT), saliency segment_sum (masking), in-step batched complex SVD under
+# lax.cond (tsvd).  One step, replicated state, batch sharded over 8 devices;
+# the loss must match the single-device run.
+# ---------------------------------------------------------------------------
+
+SIZE = 32
+BATCH = 16
+N_DATA = 64
+
+
+def _base_opt(**kw):
+    base = dict(mode="pathomic", task="grad", path_dim=8, omic_dim=8,
+                mmhid=8, feat_dim=8, input_size_path=SIZE, batch_size=BATCH,
+                CRD_distill=1, pred_distill=1, pos_mode="exact", nce_p=1,
+                nce_k=8, n_data=N_DATA, reg_type="none", dropout_rate=0.0,
+                niter_decay=2)
+    base.update(kw)
+    return Options(**base)
+
+
+def _host_batch(n_views, sample_cols, with_mask=False, seed=0):
+    rng = np.random.default_rng(seed)
+    b = {
+        "path_views": rng.integers(0, 255, (BATCH, n_views, SIZE, SIZE, 3),
+                                   dtype=np.uint8),
+        "omic": rng.normal(size=(BATCH, 80)).astype(np.float32),
+        "e": np.ones(BATCH, np.float32),
+        "t": rng.exponential(20, BATCH).astype(np.float32),
+        "g": rng.integers(0, 3, BATCH).astype(np.int32),
+        "index": np.arange(BATCH, dtype=np.int32),
+    }
+    if sample_cols:
+        b["sample_idx"] = rng.integers(0, N_DATA, (BATCH, sample_cols),
+                                       dtype=np.int32)
+        b["sample_idx"][:, 0] = b["index"]
+    if with_mask:
+        b["sp_mask"] = rng.integers(0, 8, (BATCH, SIZE, SIZE),
+                                    dtype=np.int32)
+    return b
+
+
+def _frozen_teacher(opt):
+    rng = jax.random.PRNGKey(0)
+    teacher_model = define_model(opt)
+    sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
+              "x_omic": jnp.zeros((1, 80))}
+    tvars = teacher_model.init({"params": rng, "dropout": rng},
+                               x_path=sample["x_path"],
+                               x_omic=sample["x_omic"], train=False)
+    return teacher_model, {"params": tvars["params"],
+                           "batch_stats": tvars.get("batch_stats", {})}
+
+
+def _make_family(family):
+    """Returns (fresh_state_fn, step, batch_host, extra_arg)."""
+    rng = jax.random.PRNGKey(0)
+    sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
+              "x_omic": jnp.zeros((1, 80))}
+    from multimodal_learning_tpu.train.steps import (
+        build_teacher_train_step as build_teacher)
+    from multimodal_learning_tpu.train.student import (
+        build_student_train_step, init_student_state)
+    from multimodal_learning_tpu.train.student_clat import \
+        build_clat_student_step
+
+    if family == "tsvd":
+        opt = _base_opt(tSVD_loss=True, tSVD_mode="pathomic", n_views=4,
+                        CRD_distill=0, Lambda_global=0.1)
+        model = define_model(opt)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 4))
+        step = build_teacher(opt, model, tx)
+        batch = _host_batch(2, 0)
+        batch["tsvd_update"] = np.asarray(True)
+
+        def fresh():
+            return init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+        return fresh, step, batch, jnp.asarray(0.0)
+
+    if family == "masking":
+        opt = _base_opt(masking=1, num_superpixels=8, Path_K=2, Omic_K=4,
+                        CRD_distill=0)
+        model = define_model(opt)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 4))
+        step = build_teacher(opt, model, tx, masking=True)
+        batch = _host_batch(4, 0, with_mask=True)
+
+        def fresh():
+            return init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+        return fresh, step, batch, jnp.asarray(0.0)
+
+    if family == "student":
+        opt = _base_opt(distill="crd", num_teachers=2, assign_weights=True,
+                        CE_grads=True, select_pos_mode="hard",
+                        pos_mode="multi_pos", nce_p=4, nce_p2=2, nce_k=8,
+                        nce_k2=4, alpha=1.0, beta=0.02)
+        teacher_model, teacher_vars = _frozen_teacher(opt)
+        model = define_model(opt, path_only=True)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 4))
+        step = build_student_train_step(opt, model, teacher_model,
+                                        teacher_vars, tx)
+        batch = _host_batch(2, opt.nce_p + opt.nce_k)
+
+        def fresh():
+            return init_student_state(opt, model, tx, rng, N_DATA,
+                                      input_size=SIZE)
+        return fresh, step, batch, jnp.asarray(0.5)
+
+    if family == "clat":
+        opt = _base_opt(distill="crd", num_teachers=2, assign_weights=True,
+                        loss_weighting="GK_refine", use_grads_thresh=True,
+                        grads_thresh=0.2, nce_p=2, nce_k=8,
+                        pos_extra="neighbors", pos_mode="multi_pos")
+        teacher_model, teacher_vars = _frozen_teacher(opt)
+        labels = np.random.default_rng(1).integers(0, 3, N_DATA)
+        class_mask = np.zeros((3, N_DATA), np.float32)
+        class_mask[labels, np.arange(N_DATA)] = 1.0
+        model = define_model(opt, path_only=True)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 4))
+        step = build_clat_student_step(opt, model, teacher_model,
+                                       teacher_vars, tx, class_mask)
+        batch = _host_batch(2, 1 + opt.nce_k)
+
+        def fresh():
+            return init_student_state(opt, model, tx, rng, N_DATA,
+                                      input_size=SIZE)
+        return fresh, step, batch, jnp.asarray(True)
+
+    raise ValueError(family)
+
+
+@pytest.mark.parametrize("family", ["tsvd", "masking", "student", "clat"])
+def test_sharded_step_family_matches_single_device(family):
+    fresh, step, batch_host, extra = _make_family(family)
+    key = jax.random.PRNGKey(7)
+
+    state1, m1 = step(fresh(), jax.device_put(batch_host), key, extra)
+    loss1 = float(m1["loss"])
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(fresh(), repl)
+    batch_dev = {
+        k: jax.device_put(v, repl if np.ndim(v) == 0 else shard)
+        for k, v in batch_host.items()}
+    state8, m8 = step(state, batch_dev, key, extra)
+    assert loss1 == pytest.approx(float(m8["loss"]), rel=2e-4), family
