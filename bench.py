@@ -43,26 +43,32 @@ N_STEPS = 100      # scan length: fixed ~25 ms sync is <=12% of the run
 N_DISTINCT = 1     # one resident batch: per-step augmentation keys already
                    # make iterations distinct; avoids a 100 MB in-scan gather
 REPS = 3
+DTYPE = os.environ.get("MML_BENCH_DTYPE", "bfloat16")
+FAMILIES = os.environ.get("MML_BENCH_FAMILIES", "1") not in ("0", "")
 
 
-def _make_batch(rng, train=True):
+def _make_batch(rng, views=2, sample_cols=1 + 512, with_mask=False):
     b = {
         "omic": rng.normal(size=(BATCH, 80)).astype(np.float32),
         "e": np.ones(BATCH, np.float32),
         "t": rng.exponential(20, BATCH).astype(np.float32),
         "g": rng.integers(0, 3, BATCH).astype(np.int32),
         "index": rng.choice(N_DATA, BATCH, replace=False).astype(np.int32),
-        "sample_idx": rng.integers(0, N_DATA, (BATCH, 1 + 512),
-                                   dtype=np.int32),
     }
-    views = 2 if train else 1
+    if sample_cols:
+        b["sample_idx"] = rng.integers(0, N_DATA, (BATCH, sample_cols),
+                                       dtype=np.int32)
+        b["sample_idx"][:, 0] = b["index"]
     b["path_views"] = rng.integers(0, 255, (BATCH, views, SIZE, SIZE, 3),
                                    dtype=np.uint8)
+    if with_mask:
+        b["sp_mask"] = rng.integers(0, 100, (BATCH, SIZE, SIZE),
+                                    dtype=np.int32)
     return b
 
 
-def _stack_batches(rng, train):
-    bs = [_make_batch(rng, train) for _ in range(N_DISTINCT)]
+def _stack_batches(rng, **kw):
+    bs = [_make_batch(rng, **kw) for _ in range(N_DISTINCT)]
     return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
 
 
@@ -82,7 +88,7 @@ def bench_jax() -> dict:
                   batch_size=BATCH, CRD_distill=1, pred_distill=1,
                   num_teachers=2, pos_mode="exact", nce_p=1, nce_k=512,
                   n_data=N_DATA, reg_type="omic", niter_decay=30,
-                  compute_dtype="bfloat16")
+                  compute_dtype=DTYPE)
     model = define_model(opt)
     tx = make_optimizer(opt, make_lr_schedule(opt, steps_per_epoch=50))
     rng = jax.random.PRNGKey(0)
@@ -93,8 +99,8 @@ def bench_jax() -> dict:
     eval_step = build_eval_step(opt, model)
 
     nprng = np.random.default_rng(0)
-    tbatches = jax.device_put(_stack_batches(nprng, train=True))
-    ebatches = jax.device_put(_stack_batches(nprng, train=False))
+    tbatches = jax.device_put(_stack_batches(nprng, views=2))
+    ebatches = jax.device_put(_stack_batches(nprng, views=1))
     cw = jnp.asarray(0.1)
 
     def train_chain(state, key, n):
@@ -111,6 +117,20 @@ def bench_jax() -> dict:
 
     train_chain_j = jax.jit(train_chain, static_argnames=("n",),
                             donate_argnums=(0,))
+    # compiled-cost accounting for the MFU report (before any donation).
+    # Lower ONE train step — cost_analysis of a lax.scan counts the body
+    # once, not times the trip count, so the chain is not usable here.
+    step_flops = None
+    try:
+        one_batch = jax.tree_util.tree_map(lambda x: x[0], tbatches)
+        cost = (train_step_fn
+                .lower(state, one_batch, jax.random.PRNGKey(1), cw)
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost["flops"])
+    except Exception:
+        pass
     state, loss = train_chain_j(state, jax.random.PRNGKey(1), 2)  # compile
     float(loss)
     train_time = float("inf")
@@ -121,6 +141,8 @@ def bench_jax() -> dict:
         float(loss)
         train_time = min(train_time, time.perf_counter() - t0)
     train_pps = BATCH * N_STEPS / train_time
+    train_tflops = (step_flops * N_STEPS / train_time / 1e12
+                    if step_flops else None)
 
     params, stats = state.params["model"], state.batch_stats
 
@@ -147,7 +169,110 @@ def bench_jax() -> dict:
 
     combined = 2 * BATCH * N_STEPS / (train_time + eval_time)
     return {"train_pps": train_pps, "eval_pps": eval_pps,
-            "combined_pps": combined}
+            "combined_pps": combined, "train_tflops": train_tflops,
+            "step_gflops": step_flops / 1e9 if step_flops else None}
+
+
+def _chain_pps(step_fn, state, batches, extra, n_steps, reps=2):
+    """Best-of-reps patches/sec for one jitted train-step family, measured
+    as a single in-jit lax.scan chain synced by a value fetch (see module
+    docstring for why)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(state, key, n):
+        def body(carry, i):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            batch = jax.tree_util.tree_map(
+                lambda x: x[i % N_DISTINCT], batches)
+            st, metrics = step_fn(st, batch, sub, extra)
+            return (st, k), metrics["loss"]
+        (state, _), losses = jax.lax.scan(body, (state, key),
+                                          jnp.arange(n))
+        return state, losses[-1]
+
+    chain_j = jax.jit(chain, static_argnames=("n",), donate_argnums=(0,))
+    state, loss = chain_j(state, jax.random.PRNGKey(1), 2)  # compile
+    float(loss)
+    best = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        state, loss = chain_j(state, jax.random.PRNGKey(100 + rep), n_steps)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    return BATCH * n_steps / best
+
+
+def bench_families(n_steps=30) -> dict:
+    """Throughput of the other jitted step families at paper dims, so kernel
+    regressions in the complex t-SVT SVD, the saliency segment_sum, and the
+    CRD-v3 bank select/scatter + AEKD vjp pulls show up in BENCH_r*.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_learning_tpu.config import Options
+    from multimodal_learning_tpu.models.factory import define_model
+    from multimodal_learning_tpu.train.optim import make_optimizer
+    from multimodal_learning_tpu.train.schedules import make_lr_schedule
+    from multimodal_learning_tpu.train.steps import (
+        build_teacher_train_step, init_teacher_state)
+    from multimodal_learning_tpu.train.student import (
+        build_student_train_step, init_student_state)
+
+    base = dict(mode="pathomic", task="grad", path_dim=128, omic_dim=128,
+                mmhid=128, feat_dim=128, input_size_path=SIZE,
+                batch_size=BATCH, pred_distill=1, n_data=N_DATA,
+                reg_type="omic", niter_decay=30, compute_dtype=DTYPE)
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+    sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
+              "x_omic": jnp.zeros((1, 80))}
+    out = {}
+
+    # M3LR t-SVD teacher (MIA22 recipe: n_views=4, Lambda_global=0.1)
+    opt = Options(CRD_distill=0, tSVD_loss=True, tSVD_mode="pathomic",
+                  n_views=4, Lambda_global=0.1, **base)
+    model = define_model(opt)
+    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+    state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+    step = build_teacher_train_step(opt, model, tx)
+    b = _stack_batches(nprng, views=2, sample_cols=0)
+    b["tsvd_update"] = np.ones(N_DISTINCT, bool)
+    out["tsvd_pps"] = _chain_pps(step, state, jax.device_put(b),
+                                 jnp.asarray(0.0), n_steps)
+
+    # S1 masking teacher (saliency grad + segment_sum + 2 masked distills)
+    opt = Options(CRD_distill=1, pos_mode="exact", nce_p=1, nce_k=512,
+                  masking=1, num_superpixels=100, Path_K=1, Omic_K=5, **base)
+    model = define_model(opt)
+    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+    state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+    step = build_teacher_train_step(opt, model, tx, masking=True)
+    b = _stack_batches(nprng, views=4, with_mask=True)
+    out["masked_pps"] = _chain_pps(step, state, jax.device_put(b),
+                                   jnp.asarray(0.0), n_steps)
+
+    # MICCAI student (CRD v3 two banks + AEKD vjp pulls + frozen teacher)
+    opt = Options(CRD_distill=1, distill="crd", num_teachers=2,
+                  assign_weights=True, CE_grads=True, select_pos_mode="hard",
+                  pos_mode="multi_pos", nce_p=4, nce_p2=2, nce_k=512,
+                  nce_k2=256, alpha=1.0, beta=0.02, **base)
+    teacher_model = define_model(opt)
+    tvars = teacher_model.init({"params": rng, "dropout": rng},
+                               x_path=sample["x_path"],
+                               x_omic=sample["x_omic"], train=False)
+    teacher_vars = {"params": tvars["params"],
+                    "batch_stats": tvars.get("batch_stats", {})}
+    model = define_model(opt, path_only=True)
+    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+    state = init_student_state(opt, model, tx, rng, N_DATA, input_size=SIZE)
+    step = build_student_train_step(opt, model, teacher_model, teacher_vars,
+                                    tx)
+    b = _stack_batches(nprng, views=2, sample_cols=opt.nce_p + opt.nce_k)
+    out["student_pps"] = _chain_pps(step, state, jax.device_put(b),
+                                    jnp.asarray(0.5), n_steps)
+    return out
 
 
 def bench_torch_cpu() -> float:
@@ -248,17 +373,34 @@ def bench_torch_cpu() -> float:
 
 def main():
     res = bench_jax()
+    fam = {}
+    if FAMILIES:
+        try:
+            fam = bench_families()
+        except Exception as exc:  # a family regression must not kill bench
+            fam = {"families_error": repr(exc)[:200]}
     try:
         base = bench_torch_cpu()
     except Exception:
         base = None
     value = res["combined_pps"]
+    detail = {"train_pps": round(res["train_pps"], 2),
+              "eval_pps": round(res["eval_pps"], 2),
+              "torch_cpu_pps": round(base, 2) if base else None,
+              "compute_dtype": DTYPE}
+    if res.get("train_tflops"):
+        # MFU vs the v5e bf16 MXU peak (197 TFLOP/s); flops from the
+        # compiled HLO cost model of the full train step
+        detail["train_tflops"] = round(res["train_tflops"], 2)
+        detail["step_gflops"] = round(res["step_gflops"], 1)
+        detail["mfu_pct_v5e_bf16"] = round(
+            100 * res["train_tflops"] / 197.0, 2)
+    for k, v in fam.items():
+        detail[k] = round(v, 2) if isinstance(v, float) else v
     out = {"metric": "GBMLGG ROI patches/sec/chip (train+eval)",
            "value": round(value, 2), "unit": "patches/sec",
            "vs_baseline": round(value / base, 2) if base else None,
-           "detail": {"train_pps": round(res["train_pps"], 2),
-                      "eval_pps": round(res["eval_pps"], 2),
-                      "torch_cpu_pps": round(base, 2) if base else None}}
+           "detail": detail}
     print(json.dumps(out))
 
 

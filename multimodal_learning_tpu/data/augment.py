@@ -129,24 +129,28 @@ def color_jitter_batch(key: jax.Array, x: jnp.ndarray,
     """
     kb, kc, ks, kh = jax.random.split(key, 4)
     b = x.shape[0]
+    dt = x.dtype
     fb = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness,
-                            maxval=1 + brightness)
+                            maxval=1 + brightness).astype(dt)
     fc = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast,
-                            maxval=1 + contrast)
+                            maxval=1 + contrast).astype(dt)
     fs = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation,
-                            maxval=1 + saturation)
+                            maxval=1 + saturation).astype(dt)
     fh = jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
-    hue_m = _hue_rotation_matrices(fh * 2.0 * jnp.pi)
+    hue_m = _hue_rotation_matrices(fh * 2.0 * jnp.pi).astype(dt)
 
     def gray(y):
-        return (0.299 * y[..., :1] + 0.587 * y[..., 1:2]
-                + 0.114 * y[..., 2:3])
+        w = jnp.asarray([0.299, 0.587, 0.114], dt)
+        return (w[0] * y[..., :1] + w[1] * y[..., 1:2] + w[2] * y[..., 2:3])
 
-    y = jnp.clip(x * fb, 0.0, 1.0)
-    mean = jnp.mean(gray(y), axis=(1, 2), keepdims=True)
-    y = jnp.clip(y * fc + mean * (1 - fc), 0.0, 1.0)
-    y = jnp.clip(y * fs + gray(y) * (1 - fs), 0.0, 1.0)
-    y = jnp.clip(jnp.einsum("bij,bhwj->bhwi", hue_m, y), 0.0, 1.0)
+    lo, hi = jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)
+    y = jnp.clip(x * fb, lo, hi)
+    # the 262k-pixel contrast mean accumulates in f32 regardless of dt
+    mean = jnp.mean(gray(y).astype(jnp.float32),
+                    axis=(1, 2), keepdims=True).astype(dt)
+    y = jnp.clip(y * fc + mean * (hi - fc), lo, hi)
+    y = jnp.clip(y * fs + gray(y) * (hi - fs), lo, hi)
+    y = jnp.clip(jnp.einsum("bij,bhwj->bhwi", hue_m, y), lo, hi)
     return y
 
 
@@ -173,31 +177,39 @@ def normalize_batch(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32) / 127.5 - 1.0
 
 
-def augment_view(key: jax.Array, imgs_u8: jnp.ndarray,
-                 jitter: bool = True) -> jnp.ndarray:
+def augment_view(key: jax.Array, imgs_u8: jnp.ndarray, jitter: bool = True,
+                 dtype=jnp.float32) -> jnp.ndarray:
     """One augmented view: flips + per-sample colour jitter + normalise.
 
     imgs_u8: [B, H, W, 3] uint8 (already random-cropped on host).
+
+    ``dtype``: computation/output dtype.  The train steps pass the model's
+    compute dtype — augmentation is pure bandwidth (several full passes over
+    the batch), so bf16 halves its cost, and the model casts activations to
+    bf16 at conv1 anyway; the jitter factors are ~1±0.1, far above bf16
+    quantisation noise (the contrast mean stays f32, see color_jitter_batch).
     """
     kf, kj = jax.random.split(key)
-    x = random_flips(kf, imgs_u8.astype(jnp.float32) / 255.0)
+    x = random_flips(kf, imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype))
     if jitter:
         x = color_jitter_batch(kj, x)
-    return x * 2.0 - 1.0
+    return x * jnp.asarray(2.0, dtype) - jnp.asarray(1.0, dtype)
 
 
-def augment_views(key: jax.Array, views_u8: jnp.ndarray,
-                  jitter: bool = True) -> jnp.ndarray:
+def augment_views(key: jax.Array, views_u8: jnp.ndarray, jitter: bool = True,
+                  dtype=jnp.float32) -> jnp.ndarray:
     """TransformTwice (``data_loaders_MT.py:263-270``): augment V host-cropped
     views independently.  views_u8 [B, V, H, W, 3] -> float [B, V, H, W, 3]."""
     b, v = views_u8.shape[0], views_u8.shape[1]
     keys = jax.random.split(key, v)
-    out = [augment_view(keys[i], views_u8[:, i], jitter) for i in range(v)]
+    out = [augment_view(keys[i], views_u8[:, i], jitter, dtype)
+           for i in range(v)]
     return jnp.stack(out, axis=1)
 
 
 def augment_views_with_mask(key: jax.Array, views_u8: jnp.ndarray,
-                            sp_mask: jnp.ndarray, jitter: bool = True):
+                            sp_mask: jnp.ndarray, jitter: bool = True,
+                            dtype=jnp.float32):
     """CLAT stage-1 paired augmentation: view 0's flips are shared with its
     SLIC label map so the mask tracks the image (the reference's paired
     functional transforms, ``data_loaders_MT_SP.py:158-212``); remaining
@@ -210,14 +222,15 @@ def augment_views_with_mask(key: jax.Array, views_u8: jnp.ndarray,
     kh, kv = jax.random.split(kf)
     fh = jax.random.bernoulli(kh, 0.5, (b,))
     fv = jax.random.bernoulli(kv, 0.5, (b,))
-    x0 = views_u8[:, 0].astype(jnp.float32) / 255.0
+    x0 = views_u8[:, 0].astype(dtype) / jnp.asarray(255.0, dtype)
     x0 = jnp.where(fh[:, None, None, None], x0[:, :, ::-1, :], x0)
     x0 = jnp.where(fv[:, None, None, None], x0[:, ::-1, :, :], x0)
     mask = jnp.where(fh[:, None, None], sp_mask[:, :, ::-1], sp_mask)
     mask = jnp.where(fv[:, None, None], mask[:, ::-1, :], mask)
     if jitter:
         x0 = color_jitter_batch(kj, x0)
-    out = [x0 * 2.0 - 1.0]
+    one = jnp.asarray(1.0, dtype)
+    out = [x0 * (one + one) - one]
     for i in range(1, v):
-        out.append(augment_view(keys[i], views_u8[:, i], jitter))
+        out.append(augment_view(keys[i], views_u8[:, i], jitter, dtype))
     return jnp.stack(out, axis=1), mask

@@ -28,6 +28,7 @@ from ..data.augment import augment_view, augment_views
 from ..losses import (cox_loss, distill_kl, l1_regularizer, nll_loss,
                       orth_loss, pred_kd_loss, sp_loss)
 from ..lowrank import build_view_features, update_adj_tensor, update_aux
+from ..models.factory import _dtype
 from ..models.pathomic import PathomicOutput
 from .ema import update_ema
 from .state import TrainState
@@ -204,7 +205,8 @@ def build_mmdynamics_train_step(opt, model, tx):
 
     def train_step(state: TrainState, batch, key, crd_weight):
         k_aug, k_drop = jax.random.split(key)
-        views = augment_views(k_aug, batch["path_views"])
+        views = augment_views(k_aug, batch["path_views"],
+                              dtype=_dtype(opt))
         x1 = views[:, 0]
 
         def loss_fn(params):
@@ -263,11 +265,13 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
         sp_mask = None
         if masking:
             views, sp_mask = augment_views_with_mask(
-                k_aug, batch["path_views"], batch["sp_mask"])
+                k_aug, batch["path_views"], batch["sp_mask"],
+                dtype=_dtype(opt))
             x1, x2 = views[:, 0], views[:, 1]
             xm1, xm2 = views[:, 2], views[:, 3]
         elif use_images:
-            views = augment_views(k_aug, batch["path_views"])
+            views = augment_views(k_aug, batch["path_views"],
+                                  dtype=_dtype(opt))
             x1, x2 = views[:, 0], views[:, 1]
         else:
             x1 = x2 = None

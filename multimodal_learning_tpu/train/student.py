@@ -40,7 +40,7 @@ from ..gradweight import (aekd_scale, aekd_total, aekd_v2_gate,
 from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss, sp_loss
 from ..losses.distiller_zoo import (correlation_loss, feats_kl, hint_loss,
                                     pkt_loss, rkd_loss)
-from ..models.factory import define_model
+from ..models.factory import _dtype, define_model
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from .ema import update_ema
 from .loop import evaluate
@@ -122,7 +122,8 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
     def step(state: TrainState, batch, key, epoch_frac):
         k_aug, k_drop, k_drop_ema, k_drop_t, k_sel1, k_sel2 = \
             jax.random.split(key, 6)
-        views = augment_views(k_aug, batch["path_views"])
+        views = augment_views(k_aug, batch["path_views"],
+                              dtype=_dtype(opt))
         x1, x2 = views[:, 0], views[:, 1]
 
         # EMA self-teacher (train mode, stats advance — :252-255)

@@ -32,7 +32,7 @@ from ..data.pipeline import Loader, PathomicDataset, PrefetchLoader
 from ..eval.metrics import extended_grading_metrics, one_hot
 from ..gradweight import gk_refine_thresh_weights
 from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss
-from ..models.factory import define_model
+from ..models.factory import _dtype, define_model
 from ..utils.checkpoint import save_checkpoint
 from .ema import update_ema
 from .loop import evaluate
@@ -61,7 +61,8 @@ def build_clat_student_step(opt, model, teacher_model, teacher_vars, tx,
     def step(state: TrainState, batch, key, reweight_on):
         k_aug, k_drop, k_drop_ema, k_drop_t, k_c1, k_c2 = \
             jax.random.split(key, 6)
-        views = augment_views(k_aug, batch["path_views"])
+        views = augment_views(k_aug, batch["path_views"],
+                              dtype=_dtype(opt))
         x1, x2 = views[:, 0], views[:, 1]
         bsz = x1.shape[0]
 
