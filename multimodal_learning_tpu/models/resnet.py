@@ -22,10 +22,61 @@ from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from .common import apply_act, kaiming_normal_out, torch_linear_bias, torch_linear_default
 
 ModuleDef = Any
+
+
+class _StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, computed space-to-depth.
+
+    Parameter-identical to ``nn.Conv(64, (7, 7), (2, 2), padding=3)`` —
+    kernel ``[7, 7, Cin, 64]`` at the same tree path — but applied as
+    space-to-depth(2) on the input + a 4x4/stride-1 conv over 4*Cin
+    channels (the MLPerf-TPU stem trick).  A 3-channel 7x7 stride-2 conv
+    is the worst-shaped op in the net for the MXU (contraction depth 147
+    over misaligned windows) in both the forward and the filter-gradient;
+    the re-tiled form contracts 192-deep over aligned stride-1 windows.
+    The weight re-tiling (zero-pad to 8x8, regroup 2x2 pixel phases into
+    channels) is a few-KB reshape done at apply time, so checkpoints,
+    torch import, and EMA trees are unchanged.  Falls back to the direct
+    conv for odd spatial dims.
+
+    Measured on the v5e tunnel (bench.py, bf16, 512^2 batch 16): the
+    direct 7x7 wins — 717 vs 640 train pps, 2930 vs 2520 eval pps — the
+    space-to-depth relayout transposes cost more than the conv saves, so
+    ``ResNet.stem_s2d`` defaults to False; kept for other chips/shapes.
+    """
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", kaiming_normal_out,
+                            (7, 7, c, self.features))
+        if h % 2 or w % 2:
+            return lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # y[i,j,o] = sum_{ki,kj,c} x[2i+ki-3, 2j+kj-3, c] w[ki,kj,c,o]
+        #          = sum_{a,di}    X[i+a, j+b', (di,dj,c)] W[a,b',(di,dj,c),o]
+        # with ki+1 = 2a+di (zero-padded 8x8 kernel) and X the 2x2
+        # space-to-depth of x padded by 4.
+        w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = w8.reshape(4, 2, 4, 2, c, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                    self.features)
+        xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        hh, wh = (h + 8) // 2, (w + 8) // 2
+        xs = xp.reshape(b, hh, 2, wh, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(b, hh, wh, 4 * c)
+        y = lax.conv_general_dilated(
+            xs, w4.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, :h // 2, :w // 2, :]
 
 
 class BasicBlock(nn.Module):
@@ -99,15 +150,19 @@ class ResNet(nn.Module):
     num_classes: int = 3
     act_type: str = "LSM"
     dtype: Any = jnp.float32
+    stem_s2d: bool = False    # measured slower on v5e, see _StemConv
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                    kernel_init=kaiming_normal_out, dtype=self.dtype,
-                    name="conv1")(x)
+        if self.stem_s2d:
+            x = _StemConv(features=64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                        kernel_init=kaiming_normal_out, dtype=self.dtype,
+                        name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

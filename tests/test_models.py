@@ -116,3 +116,24 @@ def test_define_model_modes():
     assert isinstance(define_model(opt), PathomicModel)
     assert isinstance(define_model(opt, path_only=True), ResNet)
     assert isinstance(define_model(opt, omic_only=True), MaxNet)
+
+
+def test_stem_conv_space_to_depth_equals_direct():
+    """_StemConv's s2d re-tiling must match the direct 7x7/s2 conv
+    bit-for-tolerance, including the odd-size fallback path."""
+    import numpy as np
+    from jax import lax
+    from multimodal_learning_tpu.models.resnet import _StemConv
+
+    rng = np.random.default_rng(0)
+    for h in (32, 31):
+        x = jnp.asarray(rng.normal(size=(2, h, h, 3)), jnp.float32)
+        m = _StemConv(features=8)
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        ref = lax.conv_general_dilated(
+            x, v["params"]["kernel"], (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   atol=5e-6)
