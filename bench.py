@@ -88,7 +88,8 @@ def bench_jax() -> dict:
                   batch_size=BATCH, CRD_distill=1, pred_distill=1,
                   num_teachers=2, pos_mode="exact", nce_p=1, nce_k=512,
                   n_data=N_DATA, reg_type="omic", niter_decay=30,
-                  compute_dtype=DTYPE)
+                  compute_dtype=DTYPE,
+                  pallas_fusion=os.environ.get("MML_BENCH_PALLAS", "train"))
     model = define_model(opt)
     tx = make_optimizer(opt, make_lr_schedule(opt, steps_per_epoch=50))
     rng = jax.random.PRNGKey(0)

@@ -196,6 +196,14 @@ class Options:
     #                                        devices, N = first N devices;
     #                                        batch_size must divide by N
     compute_dtype: str = "float32"         # float32|bfloat16 activations
+    pallas_fusion: str = "off"             # off|eval|train — route the
+    #                                        pofusion Kronecker contraction
+    #                                        through the fused Pallas kernels
+    #                                        (ops/kron_fusion.py); "train"
+    #                                        uses the masked-dropout train
+    #                                        kernel (same Bernoulli law as
+    #                                        the reference's Dropout on the
+    #                                        Kronecker vector, fusion.py:59)
     host_workers: int = 4                  # decode threads (ref num_workers=4)
     prefetch_depth: int = 2                # device prefetch buffers
     pretrained_path: str = ""              # path to converted ResNet18 weights

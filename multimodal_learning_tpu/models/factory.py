@@ -42,5 +42,6 @@ def define_model(opt, path_only: bool = False,
             use_bilinear=opt.use_bilinear, path_gate=opt.path_gate,
             omic_gate=opt.omic_gate, path_scale=opt.path_scale,
             omic_scale=opt.omic_scale, cut_fuse_grad=opt.cut_fuse_grad,
-            init_max=(opt.init_type == "max"), dtype=_dtype(opt))
+            init_max=(opt.init_type == "max"), dtype=_dtype(opt),
+            pallas_fusion=getattr(opt, "pallas_fusion", "off"))
     raise NotImplementedError(f"mode [{opt.mode}] is not implemented")

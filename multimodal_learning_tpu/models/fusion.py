@@ -101,19 +101,46 @@ class _KronEncoder1(nn.Module):
     mmhid: int
     dropout_rate: float
     pallas_eval: bool
+    pallas_train: bool = False
+
+    @staticmethod
+    def _pallas_ok() -> bool:
+        # Pallas TPU kernels can't lower on the CPU backend; recipes set
+        # pallas_fusion unconditionally, so fall back to einsum elsewhere.
+        # MML_PALLAS_FORCE=1 lets tests exercise the branch in interpret
+        # mode on CPU.
+        import os
+        return (jax.default_backend() in ("tpu", "axon")
+                or os.environ.get("MML_PALLAS_FORCE") == "1")
 
     @nn.compact
     def __call__(self, o1, o2, train: bool):
         kernel = self.param("kernel", max_init,
                             (self.d1p * self.d2p, self.mmhid))
         bias = self.param("bias", nn.initializers.zeros, (self.mmhid,))
-        if self.pallas_eval and not train:
+        if self.pallas_eval and not train and self._pallas_ok():
             from ..ops.kron_fusion import kron_matmul
             # Dense kernel rows are row-major over (i, j) -> kernel layout
             # [d2+1, d1+1, K] where W[j, i, k] pairs o1[:, i] * o2[:, j]
             w3 = kernel.reshape(self.d1p, self.d2p,
                                 self.mmhid).transpose(1, 0, 2)
             return kron_matmul(o1, o2, w3, bias)
+        if self.pallas_train and train and self._pallas_ok():
+            # Dropout on the Kronecker vector with the SAME Bernoulli(1-p)
+            # + 1/keep scaling as nn.Dropout (different stream, same law);
+            # the masked vector only ever exists in VMEM (kron_fusion.py).
+            from ..ops.kron_fusion import kron_matmul_dropout
+            n = self.d1p * self.d2p
+            keep = 1.0 - self.dropout_rate
+            if self.dropout_rate > 0.0:
+                maskf = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep,
+                    (o1.shape[0], n)).astype(jnp.float32) / keep
+            else:
+                maskf = jnp.ones((o1.shape[0], n), jnp.float32)
+            return kron_matmul_dropout(o1.astype(jnp.float32),
+                                       o2.astype(jnp.float32),
+                                       kernel, bias, maskf)
         o12 = jnp.einsum("bi,bj->bij", o1, o2).reshape(o1.shape[0], -1)
         o12 = nn.Dropout(self.dropout_rate)(o12, deterministic=not train)
         return o12 @ kernel + bias
@@ -124,9 +151,12 @@ class BilinearFusion(nn.Module):
 
     ``pallas_eval=True`` routes the eval-time encoder1 contraction through
     the fused Pallas kernel (``ops/kron_fusion.py``), which never
-    materialises the (d1+1)(d2+1) Kronecker vector.  Training keeps the
-    einsum path because the reference applies dropout to the Kronecker
-    vector itself (``fusion.py:59``)."""
+    materialises the (d1+1)(d2+1) Kronecker vector.  ``pallas_train=True``
+    additionally routes the TRAINING contraction through the masked kernel:
+    the reference applies dropout to the Kronecker vector itself
+    (``fusion.py:59``), so the train kernel takes an explicit
+    Bernoulli(1-p)/keep mask and forms the masked vector only in VMEM, with
+    a custom VJP whose two backward kernels reuse the same mask."""
     skip: int = 1
     use_bilinear: int = 1
     gate1: int = 1
@@ -138,6 +168,7 @@ class BilinearFusion(nn.Module):
     mmhid: int = 64
     dropout_rate: float = 0.25
     pallas_eval: bool = False
+    pallas_train: bool = False
 
     @nn.compact
     def __call__(self, vec1, vec2, train: bool = True):
@@ -155,7 +186,8 @@ class BilinearFusion(nn.Module):
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
                                          momentum=0.9, name=name)
         out = _KronEncoder1(d1 + 1, d2 + 1, self.mmhid, self.dropout_rate,
-                            self.pallas_eval, name="encoder1")(o1, o2, train)
+                            self.pallas_eval, self.pallas_train,
+                            name="encoder1")(o1, o2, train)
         out = drop(nn.relu(norm("encoder1_bn")(out)), deterministic=not train)
         if self.skip:
             out = jnp.concatenate([out, o1, o2], axis=1)

@@ -40,16 +40,21 @@ class PathomicOutput(NamedTuple):
 def make_fusion(fusion_type: str, *, skip=0, use_bilinear=1, path_gate=1,
                 omic_gate=1, path_dim=128, omic_dim=128, path_scale=1,
                 omic_scale=1, mmhid=128, dropout_rate=0.25,
-                name="fusion") -> Optional[nn.Module]:
+                pallas_fusion="off", name="fusion") -> Optional[nn.Module]:
     """reference ``define_bifusion`` (``networks_new.py:148-175``) extended to
-    the polynomial / LMF / HFB types."""
+    the polynomial / LMF / HFB types.  ``pallas_fusion`` routes the pofusion
+    Kronecker contraction through the fused Pallas kernels: "eval" for the
+    eval forward only, "train" for the train path too (masked kernel,
+    ops/kron_fusion.py)."""
     common = dict(skip=skip, use_bilinear=use_bilinear,
                   gate1=path_gate, gate2=omic_gate,
                   dim1=path_dim, dim2=omic_dim,
                   scale_dim1=path_scale, scale_dim2=omic_scale,
                   mmhid=mmhid, dropout_rate=dropout_rate)
     if fusion_type == "pofusion":
-        return BilinearFusion(**common, name=name)
+        return BilinearFusion(
+            **common, pallas_eval=pallas_fusion in ("eval", "train"),
+            pallas_train=pallas_fusion == "train", name=name)
     if fusion_type == "polynomial_fusion":
         return PolynomialFusion(**common, name=name)
     if fusion_type == "LMF":
@@ -121,6 +126,7 @@ class PathomicModel(nn.Module):
     cut_fuse_grad: bool = False
     init_max: bool = True
     dtype: Any = jnp.float32
+    pallas_fusion: str = "off"   # off|eval|train (pofusion Pallas kernels)
 
     def setup(self):
         self.path_net = ResNet18(path_dim=self.path_dim,
@@ -137,7 +143,8 @@ class PathomicModel(nn.Module):
             path_gate=self.path_gate, omic_gate=self.omic_gate,
             path_dim=self.path_dim, omic_dim=self.omic_dim,
             path_scale=self.path_scale, omic_scale=self.omic_scale,
-            mmhid=self.mmhid, dropout_rate=self.dropout_rate)
+            mmhid=self.mmhid, dropout_rate=self.dropout_rate,
+            pallas_fusion=self.pallas_fusion)
         clf_in = (self.path_dim + self.omic_dim
                   if self.fusion is None else self.mmhid)
         self.classifier = nn.Dense(

@@ -1,1 +1,1 @@
-from .kron_fusion import kron_matmul
+from .kron_fusion import kron_matmul, kron_matmul_dropout

@@ -142,3 +142,86 @@ def _kron_bwd(res, g):
 
 
 kron_matmul.defvjp(_kron_fwd, _kron_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Training-mode kernel: Kronecker contraction with dropout on the Kronecker
+# vector (reference ``fusion.py:59`` applies Dropout(0.25) to vec(o1 o2^T)
+# before encoder1).  The element-wise mask is rank-full over (i, j), so the
+# factored eval contraction above cannot absorb it.  Mosaic cannot
+# shape-cast a 129-minor [B, d1, d2] -> [B, d1*d2] in-kernel (unsupported
+# re-tile, verified on v5e), so the per-sample factors enter pre-expanded:
+# XLA builds ``repeat(o1, d2)`` and ``tile(o2, d1)`` ([B, (d1)(d2)] f32,
+# ~1 MB each at the paper config — free metadata-ish passes in HBM), and the
+# kernels stay purely 2-D: mask * factor products fused straight into the
+# MXU contraction, the masked Kronecker vector never hits HBM.  The dW
+# backward re-forms it in VMEM the same way (W and dW, 8.5 MB each, are
+# never resident together); the small dvec backward (g @ W^T then two
+# [B, d1, d2] reductions) is plain XLA — well-shaped and not worth a kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_train_kernel(o1r_ref, o2t_ref, m_ref, w2d_ref, b_ref, out_ref):
+    a = o1r_ref[:] * o2t_ref[:] * m_ref[:]       # [B, (d1)(d2)] in VMEM
+    out_ref[:] = jax.lax.dot_general(
+        a, w2d_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[:][None, :]
+
+
+def _expand_factors(o1, o2):
+    """[B,d1],[B,d2] -> i-major [B,(d1)(d2)] repeat/tile expansions matching
+    the reference's ``vec(o1 o2^T)`` flattening order."""
+    d1, d2 = o1.shape[1], o2.shape[1]
+    return jnp.repeat(o1, d2, axis=1), jnp.tile(o2, (1, d1))
+
+
+@jax.custom_vjp
+def kron_matmul_dropout(o1, o2, w2d, b, maskf):
+    """y[b] = (vec(o1[b] o2[b]^T) * maskf[b]) @ w2d + b.
+
+    ``w2d``: [(d1)(d2), K] in the reference einsum layout (row-major over
+    (i, j) — exactly the encoder1 Linear kernel, no re-tiling needed).
+    ``maskf``: [B, (d1)(d2)] f32 dropout mask pre-scaled by 1/keep (ones for
+    rate 0).  Differentiable in o1/o2/w2d/b; the mask gets no cotangent.
+    VMEM budget is sized for the paper config (batch <= 32 at 129^2 x 128).
+    """
+    return _fwd_train(o1, o2, w2d, b, maskf)
+
+
+def _fwd_train(o1, o2, w2d, b, maskf):
+    B = o1.shape[0]
+    K = w2d.shape[1]
+    o1r, o2t = _expand_factors(o1, o2)
+    return pl.pallas_call(
+        _fwd_train_kernel,
+        in_specs=_vmem(o1r, o2t, maskf, w2d, b),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K), jnp.float32),
+    )(o1r, o2t, maskf, w2d, b)
+
+
+def _kron_dropout_fwd(o1, o2, w2d, b, maskf):
+    return _fwd_train(o1, o2, w2d, b, maskf), (o1, o2, w2d, maskf)
+
+
+def _kron_dropout_bwd(res, g):
+    o1, o2, w2d, maskf = res
+    B, d1 = o1.shape
+    d2 = o2.shape[1]
+    # Whole backward in XLA.  A Pallas dW kernel (masked vector re-formed in
+    # VMEM, [N, K] = a^T g) measured 227 ms/step on v5e — Mosaic tiles the
+    # N=16641-row output of a contraction-16 matmul pathologically — vs
+    # sub-ms for XLA's layout; the fwd fusion is where Pallas pays.
+    o1r, o2t = _expand_factors(o1, o2)
+    a = o1r * o2t * maskf
+    dw = jax.lax.dot_general(
+        a, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # s[b,(i,j)] = (g W^T * mask); do1 = sum_j s o2, do2 = sum_i s o1
+    s = ((g @ w2d.T) * maskf).reshape(B, d1, d2)
+    do1 = jnp.einsum("bij,bj->bi", s, o2)
+    do2 = jnp.einsum("bij,bi->bj", s, o1)
+    return do1, do2, dw, jnp.sum(g, axis=0), None
+
+
+kron_matmul_dropout.defvjp(_kron_dropout_fwd, _kron_dropout_bwd)

@@ -12,7 +12,11 @@ from ..config import Options
 _PAPER_DIMS = dict(path_dim=128, omic_dim=128, mmhid=128, feat_dim=128,
                    s_dim=128, t_dim=128, input_size_omic=80,
                    input_size_path=512, label_dim=3, task="grad",
-                   batch_size=16, compute_dtype="bfloat16")
+                   batch_size=16, compute_dtype="bfloat16",
+                   # fused Pallas Kronecker contraction, train + eval
+                   # (ops/kron_fusion.py; same Bernoulli dropout law,
+                   # validated vs the einsum path on v5e)
+                   pallas_fusion="train")
 
 
 BASELINE_RECIPES = {
