@@ -218,6 +218,16 @@ class Options:
     #                                        saved running stats (TPU-build
     #                                        alternative, better behaved at
     #                                        small batch)
+    masking_bn: str = "chain"              # S1 masked-forward BN running
+    #                                        stats: "chain" = reference (torch
+    #                                        advances running stats through
+    #                                        every train-mode forward, so the
+    #                                        masked student/EMA forwards chain
+    #                                        onto the view-1/EMA updates);
+    #                                        "discard" keeps only the view-1 /
+    #                                        EMA updates.  Loss/grad-invariant
+    #                                        either way (train BN normalises
+    #                                        by current batch stats).
     CRD_gate: bool = False                 # weighted_CRDLoss loss-comparison
     #                                        gate (CRD_loss.py:8-50, dead in
     #                                        the reference): only the side

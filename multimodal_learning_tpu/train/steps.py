@@ -291,6 +291,10 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
             out = adapt_output(opt, raw)
             loss_task, parts = task_losses(opt, out, batch)
             metrics = dict(parts)
+            # running-stat trajectories; the masking block may chain further
+            # train-mode forwards onto these (--masking_bn)
+            masked_stats = mut.get("batch_stats", {})
+            masked_ema_stats = ema_mut.get("batch_stats", {})
 
             loss = opt.lambda_nll * loss_task if opt.task == "grad" \
                 else opt.lambda_cox * loss_task
@@ -391,30 +395,55 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
                 x_path_masked = x1 * (1.0 - path_mask[..., None])
                 x_omic_masked = batch["omic"] * (1.0 - omic_mask)
                 km1, km2 = jax.random.split(k_drop_m)
-                out_m1 = adapt_output(opt, model.apply(
-                    {"params": params["model"],
-                     "batch_stats": state.batch_stats},
+                # --masking_bn chain (reference): torch advances BN running
+                # stats in-place through EVERY train-mode forward, so the
+                # masked forwards' stat updates chain onto the view-1
+                # forward's (and the EMA masked forwards onto the EMA's).
+                # "discard" keeps only the view-1 / EMA-view-2 updates.
+                # Train-mode BN normalises by the CURRENT batch's stats, so
+                # this choice affects only the running-stat trajectory
+                # (eval metrics), never this step's losses or gradients.
+                chain_bn = opt.masking_bn == "chain"
+                st_stats = (masked_stats if chain_bn
+                            else state.batch_stats)
+                out_m1_raw, mut_m1 = model.apply(
+                    {"params": params["model"], "batch_stats": st_stats},
                     x_path=x_path_masked, x_omic=batch["omic"], train=True,
-                    rngs={"dropout": km1}, mutable=["batch_stats"])[0])
-                out_m2 = adapt_output(opt, model.apply(
-                    {"params": params["model"],
-                     "batch_stats": state.batch_stats},
+                    rngs={"dropout": km1}, mutable=["batch_stats"])
+                out_m1 = adapt_output(opt, out_m1_raw)
+                st_stats = (mut_m1.get("batch_stats", {}) if chain_bn
+                            else state.batch_stats)
+                out_m2_raw, mut_m2 = model.apply(
+                    {"params": params["model"], "batch_stats": st_stats},
                     x_path=x1, x_omic=x_omic_masked, train=True,
-                    rngs={"dropout": km2}, mutable=["batch_stats"])[0])
+                    rngs={"dropout": km2}, mutable=["batch_stats"])
+                out_m2 = adapt_output(opt, out_m2_raw)
+                if chain_bn:
+                    masked_stats = mut_m2.get("batch_stats", {})
+
+                sg = lambda t: jax.tree_util.tree_map(
+                    lambda x: None if x is None else jax.lax.stop_gradient(x),
+                    t, is_leaf=lambda x: x is None)
                 ema_vars = {"params": state.ema_params,
-                            "batch_stats": state.ema_batch_stats}
-                ema_m1 = adapt_output(opt, jax.tree_util.tree_map(
-                    lambda x: None if x is None else jax.lax.stop_gradient(x),
-                    model.apply(ema_vars, x_path=xm1, x_omic=batch["omic"],
-                                train=True, rngs={"dropout": km1},
-                                mutable=["batch_stats"])[0],
-                    is_leaf=lambda x: x is None))
-                ema_m2 = adapt_output(opt, jax.tree_util.tree_map(
-                    lambda x: None if x is None else jax.lax.stop_gradient(x),
-                    model.apply(ema_vars, x_path=xm2, x_omic=batch["omic"],
-                                train=True, rngs={"dropout": km2},
-                                mutable=["batch_stats"])[0],
-                    is_leaf=lambda x: x is None))
+                            "batch_stats": (masked_ema_stats if chain_bn
+                                            else state.ema_batch_stats)}
+                ema_m1_raw, ema_mut1 = model.apply(
+                    ema_vars, x_path=xm1, x_omic=batch["omic"],
+                    train=True, rngs={"dropout": km1},
+                    mutable=["batch_stats"])
+                ema_m1 = adapt_output(opt, sg(ema_m1_raw))
+                ema_vars = {"params": state.ema_params,
+                            "batch_stats": (ema_mut1.get("batch_stats", {})
+                                            if chain_bn
+                                            else state.ema_batch_stats)}
+                ema_m2_raw, ema_mut2 = model.apply(
+                    ema_vars, x_path=xm2, x_omic=batch["omic"],
+                    train=True, rngs={"dropout": km2},
+                    mutable=["batch_stats"])
+                ema_m2 = adapt_output(opt, sg(ema_m2_raw))
+                if chain_bn:
+                    masked_ema_stats = jax.lax.stop_gradient(
+                        ema_mut2.get("batch_stats", {}))
                 loss_masking = (
                     pred_kd_loss(out_m1.pred_fuse, ema_m1.pred_fuse, opt.task)
                     + pred_kd_loss(out_m2.pred_fuse, ema_m2.pred_fuse,
@@ -464,9 +493,10 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
                 new_banks["tsvd"] = tsvd
 
             metrics["loss"] = loss
-            return loss, (metrics, mut.get("batch_stats", {}), new_banks, out)
+            return loss, (metrics, masked_stats, masked_ema_stats,
+                          new_banks, out)
 
-        grads, (metrics, new_stats, new_banks, out) = jax.grad(
+        grads, (metrics, new_stats, new_ema_stats, new_banks, out) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
@@ -493,7 +523,7 @@ def build_teacher_train_step(opt, model, tx, masking: bool = False):
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_stats,
             opt_state=new_opt_state, ema_params=new_ema,
-            ema_batch_stats=ema_mut.get("batch_stats", {}),
+            ema_batch_stats=new_ema_stats,
             banks=new_banks)
         return new_state, metrics
 

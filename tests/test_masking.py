@@ -53,3 +53,51 @@ def test_stage1_masking_training_runs(tmp_path):
                   Path_K=2, Omic_K=5)
     res, best = train_teacher(opt, data, fold=1)
     assert np.isfinite(res["loss"])
+
+
+def test_masking_bn_chain_vs_discard():
+    """--masking_bn only changes the BN running-stat trajectory: the loss
+    (and therefore gradients) must be identical; the post-step batch_stats
+    must differ (chain folds the masked forwards' stats in, reference
+    torch semantics)."""
+    from multimodal_learning_tpu.config import Options
+    from multimodal_learning_tpu.models.factory import define_model
+    from multimodal_learning_tpu.train.optim import make_optimizer
+    from multimodal_learning_tpu.train.schedules import make_lr_schedule
+    from multimodal_learning_tpu.train.steps import (
+        build_teacher_train_step, init_teacher_state)
+
+    rng_np = np.random.default_rng(3)
+    batch = {
+        "path_views": rng_np.integers(0, 255, (4, 4, 32, 32, 3),
+                                      dtype=np.uint8),
+        "omic": rng_np.normal(size=(4, 80)).astype(np.float32),
+        "e": np.ones(4, np.float32),
+        "t": rng_np.exponential(20, 4).astype(np.float32),
+        "g": rng_np.integers(0, 3, 4).astype(np.int32),
+        "index": np.arange(4, dtype=np.int32),
+        "sp_mask": rng_np.integers(0, 8, (4, 32, 32), dtype=np.int32),
+    }
+    results = {}
+    for mode in ("chain", "discard"):
+        opt = Options(mode="pathomic", task="grad", path_dim=8, omic_dim=8,
+                      mmhid=8, input_size_path=32, batch_size=4,
+                      CRD_distill=0, pred_distill=1, masking=1,
+                      num_superpixels=8, Path_K=2, Omic_K=4,
+                      masking_bn=mode, reg_type="none", niter_decay=2,
+                      dropout_rate=0.0)
+        model = define_model(opt)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 4))
+        sample = {"x_path": jnp.zeros((1, 32, 32, 3)),
+                  "x_omic": jnp.zeros((1, 80))}
+        state = init_teacher_state(opt, model, tx, jax.random.PRNGKey(0),
+                                   16, sample)
+        step = build_teacher_train_step(opt, model, tx, masking=True)
+        new_state, m = step(state, jax.device_put(batch),
+                            jax.random.PRNGKey(5), jnp.asarray(0.0))
+        results[mode] = (float(m["loss"]),
+                         np.asarray(new_state.batch_stats["path_net"]["bn1"]
+                                    ["mean"]))
+    assert results["chain"][0] == pytest.approx(results["discard"][0],
+                                                rel=1e-5)
+    assert not np.allclose(results["chain"][1], results["discard"][1])
