@@ -538,9 +538,12 @@ def build_eval_step(opt, model):
         if opt.mode in ("path", "pathomic"):
             x = batch["path_views"][:, 0]
             if opt.test_augment:
-                x = augment_view(key, x)
+                x = augment_view(key, x, dtype=_dtype(opt))
             else:
-                x = x.astype(jnp.float32) / 127.5 - 1.0
+                # normalise in the compute dtype: the model casts to it at
+                # conv1 anyway, and f32 here costs an extra 100 MB pass
+                dt = _dtype(opt)
+                x = x.astype(dt) / jnp.asarray(127.5, dt)                     - jnp.asarray(1.0, dt)
         else:
             x = None
         if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
