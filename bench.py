@@ -273,6 +273,27 @@ def bench_families(n_steps=30) -> dict:
     b = _stack_batches(nprng, views=2, sample_cols=opt.nce_p + opt.nce_k)
     out["student_pps"] = _chain_pps(step, state, jax.device_put(b),
                                     jnp.asarray(0.5), n_steps)
+
+    # CLAT stage-2 student (CRD v10 kNN positives + GK_refine_thresh,
+    # train_20230805.sh recipe shape at bank size N_DATA)
+    from multimodal_learning_tpu.train.student_clat import \
+        build_clat_student_step
+    opt = Options(CRD_distill=1, distill="crd", num_teachers=2,
+                  assign_weights=True, loss_weighting="GK_refine",
+                  use_grads_thresh=True, grads_thresh=0.25, nce_p=6,
+                  nce_k=512, pos_extra="neighbors", pos_mode="multi_pos",
+                  max_discrep=1.0, **base)
+    labels = nprng.integers(0, 3, N_DATA)
+    class_mask = np.zeros((3, N_DATA), np.float32)
+    class_mask[labels, np.arange(N_DATA)] = 1.0
+    model = define_model(opt, path_only=True)
+    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+    state = init_student_state(opt, model, tx, rng, N_DATA, input_size=SIZE)
+    step = build_clat_student_step(opt, model, teacher_model, teacher_vars,
+                                   tx, class_mask)
+    b = _stack_batches(nprng, views=2, sample_cols=1 + opt.nce_k)
+    out["clat_pps"] = _chain_pps(step, state, jax.device_put(b),
+                                 jnp.asarray(True), n_steps)
     return out
 
 

@@ -7,6 +7,13 @@ parameters / EMA / CRD banks are replicated, and XLA inserts the gradient
 psums and global BatchNorm reductions automatically when the train step is
 jitted with these shardings.  On one chip everything degenerates to local
 compute; on a pod slice the same program scales over ICI with no code change.
+
+Multi-host extension point (untested here — this rig has one chip): call
+``jax.distributed.initialize()`` before first device use, build the mesh
+over ``jax.devices()`` (global), and replace ``shard_batch``'s
+``device_put`` with ``jax.make_array_from_process_local_data`` so each host
+contributes its local slice of the global batch.  The train steps themselves
+need no change — they are already written against global-batch shardings.
 """
 from __future__ import annotations
 
