@@ -152,3 +152,32 @@ def make_auroc_plot(y_onehot: np.ndarray, probs_by_model: dict,
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
+
+
+def make_hazard_histogram_plot(hazards: np.ndarray, survtime: np.ndarray,
+                               event: np.ndarray, out_path: str,
+                               cutoff_days: float = 365 * 5,
+                               zscore: bool = True, bins: int = 15):
+    """Normalised step-filled hazard histograms of short- vs long-surviving
+    patients with observed events (``getHazardHistogramPlot_GBMLGG``,
+    ``core/utils_analysis.py:570-641``): red = survival <= 5 years,
+    blue = survival > 5 years, events only (event == 1, the reference's
+    flipped-censor convention)."""
+    hazards = np.asarray(hazards, float)
+    survtime = np.asarray(survtime, float)
+    event = np.asarray(event, float)
+    if zscore and len(hazards) > 1 and hazards.std() > 0:
+        hazards = (hazards - hazards.mean()) / hazards.std()
+    low = hazards[(survtime <= cutoff_days) & (event == 1)]
+    high = hazards[(survtime > cutoff_days) & (event == 1)]
+    fig, ax = plt.subplots(figsize=(5, 4))
+    for arr, color in ((low, "r"), (high, "b")):
+        if len(arr):
+            ax.hist(arr, bins=bins, density=True, histtype="stepfilled",
+                    alpha=0.5, color=color, linewidth=1)
+    ax.spines["right"].set_visible(False)
+    ax.spines["top"].set_visible(False)
+    ax.set_xlabel("")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)

@@ -207,3 +207,82 @@ def test_hazard_swarm_plot(tmp_path, rng):
         np.array(["idhwt_ATC", "idhmut_ATC", "ODG", "ODG"] * 10), out)
     import os
     assert os.path.getsize(out) > 0
+
+
+class TestCoxPH:
+    def _simulate(self, n=400, d=3, seed=0, ties=False):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d))
+        beta = np.array([1.0, -0.5, 0.0][:d])
+        # exponential survival with rate exp(X beta); independent censoring
+        t = rng.exponential(1.0 / np.exp(X @ beta))
+        c = rng.exponential(2.0, n)
+        event = (t <= c).astype(float)
+        time = np.minimum(t, c)
+        if ties:
+            time = np.round(time, 1)  # create heavy ties
+        return X, time, event, beta
+
+    def test_recovers_coefficients(self):
+        from multimodal_learning_tpu.eval import fit_coxph
+        X, time, event, beta = self._simulate()
+        est = fit_coxph(X, time, event)
+        np.testing.assert_allclose(est, beta, atol=0.25)
+
+    def test_score_zero_at_optimum(self):
+        from multimodal_learning_tpu.eval import fit_coxph
+        from multimodal_learning_tpu.eval.coxph import \
+            _efron_loglik_grad_hess
+        X, time, event, _ = self._simulate(ties=True)
+        est = fit_coxph(X, time, event)
+        _, grad, _ = _efron_loglik_grad_hess(est, X, time, event, 0.0)
+        assert np.linalg.norm(grad) < 1e-3
+
+    def test_penalizer_shrinks(self):
+        from multimodal_learning_tpu.eval import fit_coxph
+        X, time, event, _ = self._simulate()
+        free = fit_coxph(X, time, event)
+        pen = fit_coxph(X, time, event, penalizer=100.0)
+        assert np.linalg.norm(pen) < np.linalg.norm(free)
+
+    def test_partial_hazard_ranking_gives_high_cindex(self):
+        from multimodal_learning_tpu.eval import (concordance_index,
+                                                  fit_coxph,
+                                                  predict_partial_hazard)
+        X, time, event, _ = self._simulate(seed=1)
+        beta = fit_coxph(X[:300], time[:300], event[:300])
+        risk = -predict_partial_hazard(X[300:], beta)
+        cin = concordance_index(time[300:], risk, event[300:])
+        assert cin > 0.75
+
+    def test_train_cox_cv_flow(self):
+        """trainCox_GBMLGG parity flow: per-split fit, C-index + log-rank p,
+        Hazard column in the returned per-split frames
+        (core/utils_analysis.py:288-343)."""
+        import pandas as pd
+        from multimodal_learning_tpu.eval import train_cox_cv
+        X, time, event, _ = self._simulate(seed=2)
+        ids = [f"TCGA-{i:04d}" for i in range(len(X))]
+        df = pd.DataFrame(X, index=ids,
+                          columns=["Age", "Gender", "Grade"])
+        df["Survival months"] = time
+        df["censored"] = event
+        splits = {"1": (ids[:250], ids[250:]),
+                  "2": (ids[150:], ids[:150])}
+        cin, pvals, hz = train_cox_cv(df, splits, model="cox_agegender",
+                                      normalize=True)
+        assert len(cin) == 2 and all(0.5 < c <= 1.0 for c in cin)
+        assert all(0.0 <= p <= 1.0 for p in pvals)
+        assert "Hazard" in hz["1"].columns
+        assert len(hz["1"]) == 150
+
+
+def test_hazard_histogram_plot(tmp_path):
+    from multimodal_learning_tpu.eval.plots import make_hazard_histogram_plot
+    rng = np.random.default_rng(0)
+    n = 100
+    make_hazard_histogram_plot(rng.normal(size=n),
+                               rng.exponential(1000, n),
+                               rng.integers(0, 2, n).astype(float),
+                               str(tmp_path / "hhp.png"))
+    assert (tmp_path / "hhp.png").exists()
