@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from ..models.import_torch import (convert_pathomic, convert_resnet18,
-                                       load_torch_state_dict,
+                                       flatten_tree, load_torch_state_dict,
                                        save_pretrained_npz)
     sd = load_torch_state_dict(args.src)
     if args.arch == "pathomic":
@@ -43,17 +43,9 @@ def main(argv=None) -> int:
     else:
         params, stats = convert_resnet18(sd, prefix=args.prefix)
     save_pretrained_npz(args.dst, params, stats)
-    n = sum(1 for _ in _leaves(params)) + sum(1 for _ in _leaves(stats))
+    n = len(flatten_tree(params)) + len(flatten_tree(stats))
     print(f"wrote {args.dst}: {n} tensors ({args.arch})")
     return 0
-
-
-def _leaves(tree):
-    for v in tree.values():
-        if isinstance(v, dict):
-            yield from _leaves(v)
-        else:
-            yield v
 
 
 if __name__ == "__main__":

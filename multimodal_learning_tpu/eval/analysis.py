@@ -113,7 +113,11 @@ def aggregate_patient_hazards(hazards: np.ndarray, survtime: np.ndarray,
     import pandas as pd
     df = pd.DataFrame({"hazard": hazards, "t": survtime, "e": censor},
                       index=list(patnames))
-    agg = df.groupby(level=0).agg({"hazard": agg_type, "t": "first",
+    # percentile agg types ("p0.75" etc., utils.py:644-646) are callables,
+    # not pandas method names
+    hz_agg = (p_percentile(float(agg_type[1:]))
+              if agg_type.startswith("p") else agg_type)
+    agg = df.groupby(level=0).agg({"hazard": hz_agg, "t": "first",
                                    "e": "first"})
     return (agg["hazard"].to_numpy(), agg["t"].to_numpy(),
             agg["e"].to_numpy(), list(agg.index))

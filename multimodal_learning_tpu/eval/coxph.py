@@ -94,14 +94,18 @@ def fit_coxph(X: np.ndarray, time: np.ndarray, event: np.ndarray,
             step = np.linalg.lstsq(hess, grad, rcond=None)[0]
         step = -step
         size = 1.0
+        improved = False
         for _ in range(30):
             cand = beta + size * step
             ll2, g2, h2 = _efron_loglik_grad_hess(cand, X, time, event,
                                                   penalizer)
             if np.isfinite(ll2) and ll2 >= ll - 1e-12:
+                improved = True
                 break
             size *= 0.5
-        if not np.isfinite(ll2):
+        if not improved:
+            # no ascent direction found (e.g. collinear covariates with a
+            # singular Hessian) — keep the last accepted beta
             break
         beta, delta = cand, abs(ll2 - ll)
         ll, grad, hess = ll2, g2, h2

@@ -98,8 +98,12 @@ def make_hazard_swarm_plot(hazards: np.ndarray, grades: np.ndarray,
     hazards, grades, subtypes = hazards[keep], grades[keep], subtypes[keep]
     hazards = stats.zscore(hazards) if len(hazards) > 1 else hazards
     names = grade_names or {0: "Grade II", 1: "Grade III", 2: "Grade IV"}
-    palette = {"Grade II": "#AFD275", "Grade III": "#7395AE",
-               "Grade IV": "#E7717D"}
+    # palette keyed by the (possibly caller-supplied) grade names so custom
+    # grade_names don't crash seaborn's hue lookup
+    base_colors = ["#AFD275", "#7395AE", "#E7717D", "#5D5C61", "#B1A296"]
+    palette = {name: base_colors[i % len(base_colors)]
+               for i, name in enumerate(names.values())}
+    color_of = {k: palette[v] for k, v in names.items()}
 
     fig, ax = plt.subplots(figsize=(6, 4), dpi=200)
     ax.set_ylim([-2, 2.5])
@@ -119,13 +123,13 @@ def make_hazard_swarm_plot(hazards: np.ndarray, grades: np.ndarray,
     except ImportError:  # jittered categorical scatter fallback
         cats = list(dict.fromkeys(subtypes))
         rng = np.random.default_rng(0)
-        colors = list(palette.values())
+        fallback = list(palette.values())[0]
         for i, c in enumerate(cats):
             m = subtypes == c
             x = i + rng.uniform(-0.25, 0.25, m.sum())
             ax.scatter(x, hazards[m],
-                       c=[colors[int(g) % 3] for g in grades[m]], s=12,
-                       alpha=0.9)
+                       c=[color_of.get(g, fallback) for g in grades[m]],
+                       s=12, alpha=0.9)
         ax.set_xticks(range(len(cats)))
         ax.set_xticklabels(cats)
     ax.set_xlabel("")

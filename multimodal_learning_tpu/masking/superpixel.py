@@ -41,9 +41,12 @@ def superpixel_attention_mask(
     # per-superpixel mean gradient: sum grads over channels then segments.
     # one-hot contraction, not segment_sum: scatter serialises on TPU while
     # this is a dense [B,HW]x[B,HW,N] reduction the MXU handles in ~us.
-    g_sum = g_path.sum(-1).reshape(B, -1)             # [B, HW]
+    # accumulate in f32: with bf16 activations the saliency grad is bf16,
+    # and segment areas (~2600 px) are not representable in bf16 (integers
+    # exact only to 256) — the count error can flip near-tied top-k picks
+    g_sum = g_path.sum(-1).reshape(B, -1).astype(jnp.float32)   # [B, HW]
     seg = sp_mask.reshape(B, -1)
-    onehot = jax.nn.one_hot(seg, num_superpixels, dtype=g_sum.dtype)
+    onehot = jax.nn.one_hot(seg, num_superpixels, dtype=jnp.float32)
     sums = jnp.einsum("bh,bhn->bn", g_sum, onehot)
     area = jnp.sum(onehot, axis=1)
     seg_mean = sums / (area + 1e-9)                   # [B, N]

@@ -166,8 +166,7 @@ def load_pretrained_npz(path: str) -> Tuple[Dict, Dict]:
     return tree.get("params", {}), tree.get("batch_stats", {})
 
 
-def merge_pretrained(target: Dict, source: Dict, strict_trunk: bool = False
-                     ) -> Tuple[Dict, int]:
+def merge_pretrained(target: Dict, source: Dict) -> Tuple[Dict, int]:
     """Recursively overwrite ``target`` leaves with same-path, same-shape
     ``source`` leaves (the flax analogue of torch's
     ``load_state_dict(strict=False)``, which the reference relies on to put
@@ -179,7 +178,7 @@ def merge_pretrained(target: Dict, source: Dict, strict_trunk: bool = False
         s = source.get(k)
         if isinstance(v, dict):
             if isinstance(s, dict):
-                merged[k], dn = merge_pretrained(v, s, strict_trunk)
+                merged[k], dn = merge_pretrained(v, s)
                 n += dn
             else:
                 merged[k] = v

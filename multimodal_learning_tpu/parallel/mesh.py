@@ -28,6 +28,10 @@ def data_mesh(n_devices: int = 0) -> Mesh:
     """1-D mesh over the first ``n_devices`` devices (0 = all)."""
     devs = jax.devices()
     if n_devices and n_devices > 0:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"--data_parallel {n_devices} requested but only "
+                f"{len(devs)} device(s) are visible")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("data",))
 

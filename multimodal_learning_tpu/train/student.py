@@ -104,6 +104,26 @@ def init_student_state(opt, model, tx, rng, n_data: int,
                       banks=banks or None)
 
 
+def frozen_teacher_forward(opt, teacher_model, teacher_vars, x_path, x_omic,
+                           rng):
+    """Frozen-teacher forward, stop-gradiented.  ``--teacher_bn batch``
+    (default) mirrors the reference's ``fix_model.train()`` under no_grad
+    (``train_test_path_multi_distill.py:232``): BN uses batch statistics and
+    dropout stays live (the stats advance is discarded — the reference's
+    fix_model running stats are never saved again either); ``running``
+    evaluates with the saved stats."""
+    if opt.teacher_bn == "batch":
+        t_out, _ = teacher_model.apply(
+            teacher_vars, x_path=x_path, x_omic=x_omic, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+    else:
+        t_out = teacher_model.apply(teacher_vars, x_path=x_path,
+                                    x_omic=x_omic, train=False)
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.lax.stop_gradient(x),
+        t_out, is_leaf=lambda x: x is None)
+
+
 def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
     """Returns jitted ``step(state, batch, key, epoch_frac) ->
     (state, metrics)``.  ``teacher_vars`` = {'params':…, 'batch_stats':…} of
@@ -135,21 +155,8 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
         _, ema_path_feat, ema_logit_path, ema_pred_path = \
             jax.tree_util.tree_map(jax.lax.stop_gradient, ema_raw)
 
-        # frozen multimodal teacher.  --teacher_bn batch (default) mirrors
-        # the reference's fix_model.train() under no_grad (:232): BN uses
-        # batch statistics and dropout stays live (stats advance is
-        # discarded — the reference's fix_model running stats are never
-        # saved again either); "running" evaluates with saved stats.
-        if opt.teacher_bn == "batch":
-            t_out, _ = teacher_model.apply(
-                teacher_vars, x_path=x1, x_omic=batch["omic"], train=True,
-                rngs={"dropout": k_drop_t}, mutable=["batch_stats"])
-        else:
-            t_out = teacher_model.apply(teacher_vars, x_path=x1,
-                                        x_omic=batch["omic"], train=False)
-        t_out = jax.tree_util.tree_map(
-            lambda x: None if x is None else jax.lax.stop_gradient(x),
-            t_out, is_leaf=lambda x: x is None)
+        t_out = frozen_teacher_forward(opt, teacher_model, teacher_vars,
+                                       x1, batch["omic"], k_drop_t)
 
         def kd_losses_fn(params, path_feat):
             """All KD losses as functions of the feature cut-point."""

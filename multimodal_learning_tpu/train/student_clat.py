@@ -40,7 +40,8 @@ from .optim import make_optimizer
 from .schedules import make_lr_schedule
 from .state import TrainState
 from .steps import build_eval_step
-from .student import init_student_state, load_teacher
+from .student import (frozen_teacher_forward, init_student_state,
+                      load_teacher)
 
 
 def build_clat_student_step(opt, model, teacher_model, teacher_vars, tx,
@@ -73,18 +74,8 @@ def build_clat_student_step(opt, model, teacher_model, teacher_vars, tx,
             mutable=["batch_stats"])
         _, ema_path_feat, ema_logit_path, _ = jax.tree_util.tree_map(
             jax.lax.stop_gradient, ema_raw)
-        # frozen teacher: --teacher_bn batch mirrors the reference's
-        # fix_model.train() under no_grad (see train/student.py)
-        if opt.teacher_bn == "batch":
-            t_out, _ = teacher_model.apply(
-                teacher_vars, x_path=x1, x_omic=batch["omic"], train=True,
-                rngs={"dropout": k_drop_t}, mutable=["batch_stats"])
-        else:
-            t_out = teacher_model.apply(teacher_vars, x_path=x1,
-                                        x_omic=batch["omic"], train=False)
-        t_out = jax.tree_util.tree_map(
-            lambda x: None if x is None else jax.lax.stop_gradient(x),
-            t_out, is_leaf=lambda x: x is None)
+        t_out = frozen_teacher_forward(opt, teacher_model, teacher_vars,
+                                       x1, batch["omic"], k_drop_t)
 
         def kd_fn(params, path_feat):
             """per-sample KD losses as functions of the feature cut-point."""

@@ -80,31 +80,43 @@ def main():
               f"({BATCH * N_STEPS / best:8.1f} pps)")
         return ms
 
-    # --- aug: augmentation of both views only --------------------------
+    # --- aug: augmentation of both views only (in the step's compute
+    # dtype — the full step augments in bf16 by default, so an f32 ablation
+    # here would overstate the subtracted aug cost) ----------------------
+    aug_dt = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
+
     def aug_chain(key, n):
         def body(k, i):
             k, sub = jax.random.split(k)
-            v = augment_views(sub, one["path_views"])
-            return k, jnp.mean(v)
+            v = augment_views(sub, one["path_views"], dtype=aug_dt)
+            return k, jnp.mean(v.astype(jnp.float32))
         _, outs = jax.lax.scan(body, key, jnp.arange(n))
         return outs[-1]
 
     t_aug = timed("aug", aug_chain, jax.random.PRNGKey(1))
 
     # --- fwd: student forward, train mode ------------------------------
-    x1 = augment_views(jax.random.PRNGKey(2), one["path_views"])[:, 0]
+    x1 = augment_views(jax.random.PRNGKey(2), one["path_views"],
+                       dtype=aug_dt)[:, 0]
     x1 = jax.device_put(x1)
 
     def fwd_chain(params, stats, key, n):
+        # the input must depend on the carry (x1 + tok*0): with loop-invariant
+        # inputs AND params XLA hoists the entire forward out of the scan
+        # (train-mode BN output doesn't depend on the carried running stats)
+        # and the chain reads ~0.4 ms/step of pure fiction — see CLAUDE.md.
         def body(carry, i):
-            stats, k = carry
+            stats, tok, k = carry
             k, sub = jax.random.split(k)
             raw, mut = model.apply(
                 {"params": params, "batch_stats": stats},
-                x_path=x1, x_omic=one["omic"], train=True,
-                rngs={"dropout": sub}, mutable=["batch_stats"])
-            return (mut["batch_stats"], k), jnp.mean(raw.pred_fuse)
-        (_, _), outs = jax.lax.scan(body, (stats, key), jnp.arange(n))
+                x_path=x1 + tok.astype(x1.dtype) * 0, x_omic=one["omic"],
+                train=True, rngs={"dropout": sub},
+                mutable=["batch_stats"])
+            out = jnp.mean(raw.pred_fuse)
+            return (mut["batch_stats"], out * 1e-30, k), out
+        (_, _, _), outs = jax.lax.scan(body, (stats, jnp.float32(0), key),
+                                       jnp.arange(n))
         return outs[-1]
 
     t_fwd = timed("fwd", fwd_chain, state0.params["model"],
