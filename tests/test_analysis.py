@@ -286,3 +286,32 @@ def test_hazard_histogram_plot(tmp_path):
                                rng.integers(0, 2, n).astype(float),
                                str(tmp_path / "hhp.png"))
     assert (tmp_path / "hhp.png").exists()
+
+
+def test_get_agg_hazard_cv_percentile_agg():
+    """Regression: the reference's percentile agg types (utils.py:644-646)
+    must not crash pandas .agg."""
+    from multimodal_learning_tpu.eval.analysis import get_agg_hazard_cv
+    rng = np.random.default_rng(0)
+    pred_folds = {1: {
+        "hazard": rng.normal(size=30),
+        "t": rng.exponential(500, 30),
+        "e": rng.integers(0, 2, 30).astype(float),
+        "patnames": [f"P{i % 10}" for i in range(30)],
+    }}
+    for agg in ("Hazard_mean", "Hazard_max", "Hazard_p0.75", "Hazard_p0.25"):
+        res = get_agg_hazard_cv(pred_folds, agg)
+        assert len(res) == 1 and 0.0 <= res[0] <= 1.0
+
+
+def test_swarm_plot_custom_grade_names(tmp_path):
+    """Regression: caller-supplied grade_names must not crash the palette."""
+    from multimodal_learning_tpu.eval.plots import make_hazard_swarm_plot
+    rng = np.random.default_rng(0)
+    n = 40
+    make_hazard_swarm_plot(rng.normal(size=n), rng.integers(0, 3, n),
+                           np.array(["idhwt_ATC", "idhmut_ATC", "ODG",
+                                     "idhwt_ATC"] * 10),
+                           str(tmp_path / "swarm.png"),
+                           grade_names={0: "G2", 1: "G3", 2: "G4"})
+    assert (tmp_path / "swarm.png").exists()
