@@ -41,14 +41,18 @@ def superpixel_attention_mask(
     # per-superpixel mean gradient: sum grads over channels then segments.
     # one-hot contraction, not segment_sum: scatter serialises on TPU while
     # this is a dense [B,HW]x[B,HW,N] reduction the MXU handles in ~us.
-    # accumulate in f32: with bf16 activations the saliency grad is bf16,
-    # and segment areas (~2600 px) are not representable in bf16 (integers
-    # exact only to 256) — the count error can flip near-tied top-k picks
-    g_sum = g_path.sum(-1).reshape(B, -1).astype(jnp.float32)   # [B, HW]
+    # ACCUMULATE in f32 (preferred_element_type / dtype=) while keeping the
+    # [B, HW, N] one-hot in the narrow activation dtype: segment areas
+    # (~2600 px) are not representable in bf16 (integers exact only to 256)
+    # and a count error can flip near-tied top-k picks — but widening the
+    # one-hot itself to f32 would double a ~1 GB operand if XLA ever
+    # materialises it; f32 accumulation over exact bf16 ones costs nothing.
+    g_sum = g_path.sum(-1).reshape(B, -1)             # [B, HW]
     seg = sp_mask.reshape(B, -1)
-    onehot = jax.nn.one_hot(seg, num_superpixels, dtype=jnp.float32)
-    sums = jnp.einsum("bh,bhn->bn", g_sum, onehot)
-    area = jnp.sum(onehot, axis=1)
+    onehot = jax.nn.one_hot(seg, num_superpixels, dtype=g_sum.dtype)
+    sums = jnp.einsum("bh,bhn->bn", g_sum, onehot,
+                      preferred_element_type=jnp.float32)
+    area = jnp.sum(onehot, axis=1, dtype=jnp.float32)
     seg_mean = sums / (area + 1e-9)                   # [B, N]
     _, top_ids = jax.lax.top_k(seg_mean, path_k)      # [B, K]
     path_mask = (seg[:, :, None] == top_ids[:, None, :]).any(-1)
