@@ -17,7 +17,7 @@ apply_platform_override()
 
 from ..config import parse_args
 from ..data.pipeline import Loader, PathomicDataset
-from ..data.splits import load_cv_splits, make_synthetic_splits
+from ..data.splits import load_cv_splits, make_synthetic_splits, split_pickle_path
 from ..models.factory import define_model
 from ..train.loop import evaluate
 from ..train.steps import build_eval_step
@@ -60,8 +60,7 @@ def main(argv=None):
                                      roi_size=max(64, opt.input_size_path),
                                      seed=opt.seed)
     else:
-        data = load_cv_splits(os.path.join(
-            opt.dataroot, "splits_5cv_2022", "gbmlgg5cv_all_st_1_1_0.pkl"))
+        data = load_cv_splits(split_pickle_path(opt))
     metrics = {"fuse": [], "path": [], "omic": []}
     for k in sorted(data["cv_splits"].keys()):
         res = run_fold(opt, data, k)

@@ -18,7 +18,7 @@ import jax
 
 from ..config import parse_args
 from ..data.pipeline import Loader, PathomicDataset
-from ..data.splits import load_cv_splits, make_synthetic_splits
+from ..data.splits import load_cv_splits, make_synthetic_splits, split_pickle_path
 from ..eval.analysis import save_pred_test
 from ..eval.metrics import extended_grading_metrics, one_hot
 from ..models.factory import define_model
@@ -34,9 +34,7 @@ def main(argv=None):
                                      roi_size=max(64, opt.input_size_path),
                                      seed=opt.seed)
     else:
-        data = load_cv_splits(os.path.join(
-            opt.dataroot, "splits_5cv_2022",
-            "gbmlgg5cv_all_st_patches_512_1_1_0.pkl"))
+        data = load_cv_splits(split_pickle_path(opt, patches=True))
 
     eval_opt = opt.replace(mode="path")
     model = define_model(eval_opt)

@@ -25,7 +25,8 @@ from ._platform import apply_platform_override
 apply_platform_override()
 
 from ..config import parse_args
-from ..data.splits import load_cv_splits, make_synthetic_splits
+from ..data.splits import (load_cv_splits, make_synthetic_splits,
+                           split_pickle_path)
 from ..train.loop import train_teacher
 
 
@@ -37,12 +38,8 @@ def main(argv=None):
                                      seed=opt.seed)
         patches = None
     else:
-        roi_path = os.path.join(
-            opt.dataroot, "splits_5cv_2022",
-            "gbmlgg5cv_all_st_1_1_0.pkl")          # train_cv_MT.py:35
-        patch_path = os.path.join(
-            opt.dataroot, "splits_5cv_2022",
-            "gbmlgg5cv_all_st_patches_512_1_1_0.pkl")  # :48
+        roi_path = split_pickle_path(opt)              # train_cv_MT.py:35
+        patch_path = split_pickle_path(opt, patches=True)  # :48
         data = load_cv_splits(roi_path)
         patches = load_cv_splits(patch_path) if os.path.exists(patch_path) \
             else None

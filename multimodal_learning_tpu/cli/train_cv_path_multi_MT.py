@@ -15,7 +15,7 @@ from ._platform import apply_platform_override
 apply_platform_override()
 
 from ..config import parse_args
-from ..data.splits import load_cv_splits, make_synthetic_splits
+from ..data.splits import load_cv_splits, make_synthetic_splits, split_pickle_path
 from ..train.student import train_student
 
 
@@ -27,10 +27,8 @@ def main(argv=None):
                                      seed=opt.seed)
         patches = None
     else:
-        data = load_cv_splits(os.path.join(
-            opt.dataroot, "splits_5cv_2022", "gbmlgg5cv_all_st_1_1_0.pkl"))
-        ppath = os.path.join(opt.dataroot, "splits_5cv_2022",
-                             "gbmlgg5cv_all_st_patches_512_1_1_0.pkl")
+        data = load_cv_splits(split_pickle_path(opt))
+        ppath = split_pickle_path(opt, patches=True)
         patches = load_cv_splits(ppath) if os.path.exists(ppath) else None
 
     fold_metrics, fold_avg = [], []

@@ -260,6 +260,55 @@ class Options:
         return dataclasses.replace(self, **kw)
 
 
+# --------------------------------------------------------------------------
+# Parsed-but-dead flag registry.  Every Options field must either be consumed
+# somewhere in the package or appear here with the reason (enforced by
+# tests/test_flag_wiring.py::test_options_closure).  "dead in the reference"
+# means the reference parses the flag but never reads it on any live path.
+# --------------------------------------------------------------------------
+DEAD_FLAGS = {
+    # -------- dead in the reference too (parse-only there as well)
+    "KD_type": "never read in the reference (train_test_MT.py greps clean)",
+    "start_KD": "read only in commented-out code (train_test_MT.py:154)",
+    "CRD_mode": "never read in the reference (resnets.py:242 comment only)",
+    "proto_beta": "never read in the reference",
+    "grad_place": "never read in the reference",
+    "return_grad": "never read in the reference",
+    "gamma": "parsed (-r alias) but never read in the reference",
+    "save_at": "never read in the reference",
+    "finetune": "never read in the reference",
+    "revision_exp": "RLW/UW revision switch, unimplemented in the reference "
+                    "(options_new.py:18-19); fail-fast via loss_weighting",
+    "discrep_scale": "passed into assign_sample_weights but its only use is "
+                     "commented out (S2 ...distill.py:155)",
+    "useRNA": "never read in the reference",
+    "useSN": "never read in the reference",
+    "consistency_rampup": "get_current_consistency_weight defined but its "
+                          "call is commented (train_test_MT.py:154-155); "
+                          "sigmoid_rampup implemented in train/schedules.py",
+    "omic_transform": "loader call commented in the reference "
+                      "(train_test_MT.py:127-128); implementation kept at "
+                      "data/sampling.py:omic_transform",
+    # -------- graph-modality vestige (mode 'graph' was dropped upstream;
+    # PARITY §2.2)
+    "use_edges": "torch_geometric graph branch, vestigial in the reference",
+    "pooling_ratio": "graph branch, vestigial in the reference",
+    "GNN": "graph branch, vestigial in the reference",
+    # -------- N/A on this backend / subsumed by the TPU design
+    "gpu_ids": "CUDA DataParallel device list; the TPU build shards via "
+               "--data_parallel over a jax mesh (parallel/mesh.py)",
+    "final_lr": "adabound-only knob; adabound maps to adam here AND in the "
+                "reference (its adabound import is absent from the env)",
+    "s_dim": "CRD embed input width; flax infers it from the feature "
+             "(contrast/crd.py Embed) so it cannot disagree with the model",
+    "t_dim": "CRD teacher embed input width; inferred likewise",
+    "measure": "per-epoch train-metric print gate; the TPU build always "
+               "logs epoch metrics to JSONL (utils/logging.py)",
+    "print_every": "per-batch print cadence; subsumed by per-epoch JSONL "
+                   "logging (the hot loop is one jitted step)",
+}
+
+
 _BOOL_STR_FIELDS = {
     # flags the reference types as str "True"/"False"
     "tSVD_loss", "orth_loss", "student_customize", "assign_weights",

@@ -23,6 +23,19 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def split_pickle_path(opt, patches: bool = False) -> str:
+    """Reference split-pickle naming (``train_cv_MT.py:31-35``):
+    ``gbmlgg5cv_<roi_dir>_1_1_<use_vgg_features><_rnaseq>.pkl`` with
+    ``roi_dir`` switching to the 512-patch splits under
+    ``--use_vgg_features`` (or for the explicit patches loader)."""
+    roi_dir = ("all_st_patches_512" if (patches or opt.use_vgg_features)
+               else "all_st")
+    rnaseq = "_rnaseq" if opt.use_rnaseq else ""
+    return os.path.join(
+        opt.dataroot, "splits_5cv_2022",
+        f"gbmlgg5cv_{roi_dir}_1_1_{int(opt.use_vgg_features)}{rnaseq}.pkl")
+
+
 def load_cv_splits(pickle_path: str) -> Dict:
     with open(pickle_path, "rb") as fh:
         return pickle.load(fh)

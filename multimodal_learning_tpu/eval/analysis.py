@@ -42,6 +42,14 @@ def ci_interval(data: Sequence[float], confidence: float = 0.95):
 
 
 def p_percentile(q: float):
+    """Percentile aggregator for ``agg_type='p0.75'`` etc.
+
+    DELIBERATE deviation from the reference: ``utils_analysis.py``'s
+    ``p(0.75)`` calls ``np.percentile(x, 0.75)`` — the *0.75th* percentile
+    (essentially the min), an apparent q-vs-percent bug.  Here ``q`` is the
+    quantile and is scaled by 100, so ``p0.75`` means the 75th percentile.
+    Bit-parity comparisons of Hazard_p0.75/Hazard_p0.25 aggregates against
+    the reference will therefore differ (see PARITY.md deviations table)."""
     def percentile_(x):
         return np.percentile(x, q * 100)
     return percentile_

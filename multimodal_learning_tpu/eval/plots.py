@@ -123,12 +123,23 @@ def make_hazard_swarm_plot(hazards: np.ndarray, grades: np.ndarray,
     except ImportError:  # jittered categorical scatter fallback
         cats = list(dict.fromkeys(subtypes))
         rng = np.random.default_rng(0)
-        fallback = list(palette.values())[0]
+
+        def grade_color(g):
+            # int-key lookup first; unknown grades cycle the base palette
+            # (mirrors the pre-palette modulo behaviour) instead of
+            # collapsing onto the first color
+            try:
+                gi = int(g)
+            except (TypeError, ValueError):
+                return color_of.get(g, base_colors[hash(str(g))
+                                                   % len(base_colors)])
+            return color_of.get(gi, base_colors[gi % len(base_colors)])
+
         for i, c in enumerate(cats):
             m = subtypes == c
             x = i + rng.uniform(-0.25, 0.25, m.sum())
             ax.scatter(x, hazards[m],
-                       c=[color_of.get(g, fallback) for g in grades[m]],
+                       c=[grade_color(g) for g in grades[m]],
                        s=12, alpha=0.9)
         ax.set_xticks(range(len(cats)))
         ax.set_xticklabels(cats)

@@ -63,6 +63,65 @@ class AlphaDropout(nn.Module):
         return a * jnp.where(mask, x, _ALPHA_P) + b
 
 
+def apply_init_type(rng, params, init_type: str, init_gain: float):
+    """Post-init re-initialisation — reference ``init_weights``
+    (``utils.py:205-233``, applied by ``init_net`` from ``define_net``):
+
+    - Conv/Linear kernels: normal(0, gain) | xavier_normal(gain) |
+      kaiming_normal(fan_in) | orthogonal(gain); their biases -> 0
+    - BatchNorm scale: N(1, gain), bias -> 0
+
+    ``max`` (the recipes' default) and ``none`` leave the modules'
+    self-initialisation untouched, matching ``init_net``'s max branch.
+    Operates on a flax param pytree: kernels are leaves named ``kernel``
+    with ndim >= 2; BN subtrees are identified by a ``scale`` sibling.
+    """
+    if init_type in ("max", "none", "normal_default"):
+        return params
+    if init_type not in ("normal", "xavier", "kaiming", "orthogonal"):
+        raise NotImplementedError(
+            f"initialization method [{init_type}] is not implemented")
+
+    if init_type == "xavier":
+        kinit = jax.nn.initializers.xavier_normal()
+    elif init_type == "kaiming":
+        # torch kaiming_normal_(a=0, mode='fan_in') -> gain sqrt(2)
+        kinit = jax.nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    elif init_type == "orthogonal":
+        kinit = jax.nn.initializers.orthogonal()
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    keys = jax.random.split(rng, len(flat))
+    bn_dirs = {jax.tree_util.keystr(path[:-1])
+               for path, _ in flat
+               if jax.tree_util.keystr(path[-1:]) == "['scale']"}
+    new_leaves = []
+    for key, (path, leaf) in zip(keys, flat):
+        name = jax.tree_util.keystr(path[-1:])
+        parent = jax.tree_util.keystr(path[:-1])
+        if parent in bn_dirs:
+            if name == "['scale']":
+                leaf = 1.0 + init_gain * jax.random.normal(
+                    key, leaf.shape, leaf.dtype)
+            elif name == "['bias']":
+                leaf = jnp.zeros_like(leaf)
+        elif name == "['kernel']" and leaf.ndim >= 2:
+            if init_type == "normal":
+                leaf = init_gain * jax.random.normal(key, leaf.shape,
+                                                     leaf.dtype)
+            else:
+                leaf = kinit(key, leaf.shape, leaf.dtype)
+                if init_type in ("xavier", "orthogonal"):
+                    # torch multiplies the draw by ``gain``; kaiming
+                    # takes no gain argument in the reference
+                    leaf = leaf * init_gain
+        elif name == "['bias']":
+            leaf = jnp.zeros_like(leaf)
+        new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def apply_act(act_type: str, hazard: jnp.ndarray) -> jnp.ndarray:
     """Output activation (reference ``define_act_layer``,
     ``networks_new.py:132-145``), including the survival range-shift

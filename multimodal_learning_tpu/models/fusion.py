@@ -125,12 +125,21 @@ class _KronEncoder1(nn.Module):
             w3 = kernel.reshape(self.d1p, self.d2p,
                                 self.mmhid).transpose(1, 0, 2)
             return kron_matmul(o1, o2, w3, bias)
-        if self.pallas_train and train and self._pallas_ok():
+        n = self.d1p * self.d2p
+        # The ungridded train kernel holds two expanded factors + the mask
+        # ([B, n] f32 each), the [n, K] weight and the [B, K] out in VMEM
+        # (~15 MB at the paper config's batch 32).  Batches beyond that
+        # overflow the 16 MB budget with an opaque Mosaic error, so fall
+        # back to the einsum path instead of compiling a crash (ADVICE r2).
+        train_vmem_ok = (4 * (3 * o1.shape[0] * n + n * self.mmhid
+                              + o1.shape[0] * self.mmhid)
+                         <= 15 * 1024 * 1024)
+        if (self.pallas_train and train and self._pallas_ok()
+                and train_vmem_ok):
             # Dropout on the Kronecker vector with the SAME Bernoulli(1-p)
             # + 1/keep scaling as nn.Dropout (different stream, same law);
             # the masked vector only ever exists in VMEM (kron_fusion.py).
             from ..ops.kron_fusion import kron_matmul_dropout
-            n = self.d1p * self.d2p
             keep = 1.0 - self.dropout_rate
             if self.dropout_rate > 0.0:
                 maskf = jax.random.bernoulli(

@@ -46,11 +46,15 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
     ``pred_test`` list used by offline analysis."""
     probs = {"fuse": [], "path": [], "omic": []}
     feats = {"fuse": [], "path": [], "omic": []}
-    losses = {"fuse": 0.0, "path": 0.0, "omic": 0.0}
+    loss_parts = []
     gts, times, events = [], [], []
     n_batches = 0
     feat_fields = {"fuse": "fuse_feat", "path": "path_feat",
                    "omic": "omic_feat"}
+    # Device outputs are only *collected* inside the loop — no float()/
+    # np.asarray per batch, which on the tunnel costs a ~25 ms blocking sync
+    # each and serialises the eval steps (VERDICT r2 #7).  One device_get at
+    # the end fetches everything and lets the steps pipeline.
     for batch in loader:
         key, sub = jax.random.split(key)
         out, parts = eval_step(params, batch_stats, batch, sub)
@@ -58,15 +62,20 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
         for name in probs:
             pred = getattr(out, f"pred_{name}")
             if pred is not None:
-                probs[name].append(np.asarray(pred))
-                losses[name] += float(parts[f"loss_{name}"])
+                probs[name].append(pred)
             feat = getattr(out, feat_fields[name])
             if feat is not None:
-                feats[name].append(np.asarray(feat))
+                feats[name].append(feat)
+        loss_parts.append(parts)
         gts.append(np.asarray(batch["g"]))
         times.append(np.asarray(batch["t"]))
         events.append(np.asarray(batch["e"]))
 
+    probs, feats, loss_parts = jax.device_get((probs, feats, loss_parts))
+    losses = {name: float(sum(np.asarray(p[f"loss_{name}"])
+                              for p in loss_parts))
+              for name in ("fuse", "path", "omic")} if loss_parts else \
+        {"fuse": 0.0, "path": 0.0, "omic": 0.0}
     gt = np.concatenate(gts)
     t_all = np.concatenate(times)
     e_all = np.concatenate(events)
@@ -174,6 +183,9 @@ def train_teacher(opt, data: Dict, fold: int,
     from ..parallel.mesh import setup_data_parallel
     state, train_sharding = setup_data_parallel(opt, state)
 
+    from .schedules import PlateauTracker
+    plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+
     for epoch in range(start_epoch, total_epochs + 1):
         crd_weight = 0.01 if epoch >= 15 else opt.CRD_weight
         t0 = time.time()
@@ -209,6 +221,13 @@ def train_teacher(opt, data: Dict, fold: int,
         res = evaluate(opt, eval_step, state.params["model"],
                        state.batch_stats, loader_for_eval, sub)
         final_eval = res
+
+        if plateau is not None:
+            # ReduceLROnPlateau on the eval loss (networks_new.py:122)
+            from .optim import set_plateau_scale
+            scale = plateau.step(res["loss"])
+            state = state.replace(opt_state=set_plateau_scale(
+                state.opt_state, scale))
 
         if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
             save_train_state(snap_path, state, epoch)

@@ -49,9 +49,13 @@ def make_lr_schedule(opt, steps_per_epoch: int):
             peak_value=1e-3)
 
     if opt.lr_policy == "plateau":
-        # ReduceLROnPlateau is metric-driven; handled host-side by the loop
-        # via `plateau_scale` (factor 0.2, patience 5, threshold .01 —
-        # networks_new.py:122).  The schedule itself is constant.
+        # ReduceLROnPlateau (factor 0.2, patience 5, threshold 0.01 —
+        # networks_new.py:122) is metric-driven: the schedule itself is the
+        # constant base LR, and ``make_optimizer`` wraps the chain in
+        # ``inject_hyperparams`` so the loop can scale it per epoch with
+        # ``optim.set_plateau_scale`` driven by ``PlateauTracker``.  (The
+        # reference's own plateau branch is dead: it calls
+        # ``scheduler.step()`` with no metric, a TypeError.)
         def sched(step):
             return base
         return sched

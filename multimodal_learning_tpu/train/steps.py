@@ -147,7 +147,7 @@ def _branch_pred(opt, out: PathomicOutput):
 def init_teacher_state(opt, model, tx, rng, n_data: int,
                        sample_batch) -> TrainState:
     """Initialise params / EMA / banks / embeds for the teacher flow."""
-    k_model, k_drop, k_bank, k_embed = jax.random.split(rng, 4)
+    k_model, k_drop, k_bank, k_embed, k_reinit = jax.random.split(rng, 5)
     if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
         variables = model.init({"params": k_model, "dropout": k_drop},
                                sample_batch.get("x_path"),
@@ -162,11 +162,16 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
              else sample_batch["x_omic"])
         variables = model.init({"params": k_model, "dropout": k_drop},
                                x, train=True)
-    # --pretrained_path: ImageNet (or reference-checkpoint) ResNet18 weights
-    # into the path branch (MICCAI-2022/resnets.py:275-284)
+    # --init_type normal/xavier/kaiming/orthogonal re-init with --init_gain
+    # (init_net -> init_weights, utils.py:205-233); then --pretrained_path:
+    # ImageNet (or reference-checkpoint) ResNet18 weights into the path
+    # branch (MICCAI-2022/resnets.py:275-284) — same order as the reference
+    from ..models.common import apply_init_type
     from ..models.import_torch import apply_pretrained
     model_params, batch_stats = apply_pretrained(
-        opt, dict(variables["params"]), dict(variables.get("batch_stats", {})))
+        opt, dict(apply_init_type(k_reinit, variables["params"],
+                                  opt.init_type, opt.init_gain)),
+        dict(variables.get("batch_stats", {})))
     params = {"model": jax.tree_util.tree_map(jnp.asarray, model_params)}
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     banks = None
@@ -191,7 +196,10 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
     opt_state = tx.init(params)
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # fresh buffers —
     # aliasing params would break buffer donation in the jitted step
-    return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+    # --global_step seeds the step counter (reference iter_num =
+    # opt.global_step, train_test_MT.py:104) — it feeds the EMA warm-up
+    return TrainState(step=jnp.asarray(opt.global_step, jnp.int32),
+                      params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       ema_params=copy(params["model"]),
                       ema_batch_stats=copy(batch_stats), banks=banks)
@@ -543,7 +551,8 @@ def build_eval_step(opt, model):
                 # normalise in the compute dtype: the model casts to it at
                 # conv1 anyway, and f32 here costs an extra 100 MB pass
                 dt = _dtype(opt)
-                x = x.astype(dt) / jnp.asarray(127.5, dt)                     - jnp.asarray(1.0, dt)
+                x = (x.astype(dt) / jnp.asarray(127.5, dt)
+                     - jnp.asarray(1.0, dt))
         else:
             x = None
         if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":

@@ -41,7 +41,8 @@ from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss, sp_loss
 from ..losses.distiller_zoo import (correlation_loss, feats_kl, hint_loss,
                                     pkt_loss, rkd_loss)
 from ..models.factory import _dtype, define_model
-from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.checkpoint import (load_checkpoint, load_train_state,
+                                save_checkpoint, save_train_state)
 from .ema import update_ema
 from .loop import evaluate
 from .optim import make_optimizer
@@ -52,15 +53,19 @@ from .steps import build_eval_step
 
 def init_student_state(opt, model, tx, rng, n_data: int,
                        input_size: int) -> TrainState:
-    k_model, k_drop, kb1, kb2, ke1, ke2 = jax.random.split(rng, 6)
+    k_model, k_drop, kb1, kb2, ke1, ke2, k_reinit = jax.random.split(rng, 7)
     x = jnp.zeros((1, input_size, input_size, 3))
     variables = model.init({"params": k_model, "dropout": k_drop}, x,
                            train=True)
+    # --init_type re-init (init_weights, utils.py:205-233), then
     # --pretrained_path: ImageNet ResNet18 trunk into the path student
     # (reference fine-tunes from torchvision weights, resnets.py:275-284)
+    from ..models.common import apply_init_type
     from ..models.import_torch import apply_pretrained
     model_params, batch_stats = apply_pretrained(
-        opt, dict(variables["params"]), dict(variables.get("batch_stats", {})))
+        opt, dict(apply_init_type(k_reinit, variables["params"],
+                                  opt.init_type, opt.init_gain)),
+        dict(variables.get("batch_stats", {})))
     params = {"model": jax.tree_util.tree_map(jnp.asarray, model_params)}
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     # two CRD criteria: fuse-teacher bank + EMA-teacher bank (:202-208);
@@ -97,7 +102,9 @@ def init_student_state(opt, model, tx, rng, n_data: int,
         banks["aekd_ema"] = jnp.zeros(n_losses)
     opt_state = tx.init(params)
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
-    return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+    # --global_step seeds the step counter (reference iter_num, :222)
+    return TrainState(step=jnp.asarray(opt.global_step, jnp.int32),
+                      params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       ema_params=copy(params["model"]),
                       ema_batch_stats=copy(batch_stats),
@@ -138,6 +145,12 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
             f"--loss_weighting {opt.loss_weighting}: supported values are "
             f"{known_weightings} (the reference's RLW/UW revision options "
             "are unimplemented there too, options_new.py:18-19)")
+    if opt.sample_KD and not (opt.assign_weights and opt.student_customize
+                              and opt.distill in ("crd", "kd")):
+        raise NotImplementedError(
+            "--sample_KD is the per-sample AEKD_v2 gate "
+            "(train_test_path_multi_distill.py:74-141): it needs "
+            "--assign_weights --student_customize and --distill crd|kd")
 
     def step(state: TrainState, batch, key, epoch_frac):
         k_aug, k_drop, k_drop_ema, k_drop_t, k_sel1, k_sel2 = \
@@ -158,8 +171,13 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
         t_out = frozen_teacher_forward(opt, teacher_model, teacher_vars,
                                        x1, batch["omic"], k_drop_t)
 
-        def kd_losses_fn(params, path_feat):
-            """All KD losses as functions of the feature cut-point."""
+        def kd_losses_fn(params, path_feat, per_sample=False):
+            """All KD losses as functions of the feature cut-point.
+
+            ``per_sample=True`` (--sample_KD, AEKD_loss_v2 sample mode,
+            ``train_test_path_multi_distill.py:85-112``) returns each loss
+            as an un-reduced [B] vector; only the weightable modes (kd/crd)
+            support it — enforced by the build-time fail-fast above."""
             # logits head: fc_new2(path_feat)
             w = params["model"]["fc_new2"]["kernel"]
             b = params["model"]["fc_new2"]["bias"]
@@ -168,15 +186,19 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
             alpha = 1.0 if opt.alpha is None else opt.alpha
             if opt.num_teachers == 2:
                 losses["div1"] = alpha * distill_kl(
-                    logit_path, t_out.hazard_fuse, opt.kd_T)
+                    logit_path, t_out.hazard_fuse, opt.kd_T,
+                    per_sample=per_sample)
                 losses["div2"] = alpha * distill_kl(
-                    logit_path, ema_logit_path, opt.kd_T)
+                    logit_path, ema_logit_path, opt.kd_T,
+                    per_sample=per_sample)
             elif opt.which_teacher == "fuse":
                 losses["div1"] = alpha * distill_kl(
-                    logit_path, t_out.hazard_fuse, opt.kd_T)
+                    logit_path, t_out.hazard_fuse, opt.kd_T,
+                    per_sample=per_sample)
             else:
                 losses["div1"] = alpha * distill_kl(
-                    logit_path, ema_logit_path, opt.kd_T)
+                    logit_path, ema_logit_path, opt.kd_T,
+                    per_sample=per_sample)
             t_feat_fuse = t_out.fuse_feat
             if opt.distill == "kd":
                 pass  # KL-div only (v2 :434-435)
@@ -243,9 +265,11 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                         update_bank=False)
                     n_pos = opt.nce_p2 if opt.select_pos_pairs else opt.nce_p
                     crd = (contrast_loss(out_s, opt.n_data, n_pos=n_pos,
-                                         neg_weights=negw)
+                                         neg_weights=negw,
+                                         per_sample=per_sample)
                            + contrast_loss(out_t, opt.n_data, n_pos=n_pos,
-                                           neg_weights=negw))
+                                           neg_weights=negw,
+                                           per_sample=per_sample))
                     beta = 1.0 if opt.beta is None else opt.beta
                     losses[f"kd{i}"] = beta * crd
             return losses
@@ -289,8 +313,23 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                     grads.append(jax.lax.stop_gradient(
                         jax.grad(ce_fn)(path_feat)))
                 if opt.student_customize:
-                    # AEKD_loss_v2 binary gating (:74-141)
-                    loss_KD = aekd_v2_gate(grads[:-1], grads[-1], kd_vals)
+                    if opt.sample_KD:
+                        # per-sample AEKD_v2 (:103-112, :131-136): per-sample
+                        # KD losses gated by the per-row cos(KD grad, CE
+                        # grad) > 0.  The grads computed above ARE per-sample
+                        # rows (each loss's sample-i term reaches path_feat
+                        # only through row i; the reference backprops
+                        # sum(loss)/B, and cosine is row-scale-invariant).
+                        kd_ps = kd_losses_fn(params, path_feat,
+                                             per_sample=True)
+                        loss_KD = aekd_v2_gate(
+                            grads[:-1], grads[-1],
+                            [kd_ps[k] for k in kd_keys], per_sample=True,
+                            batch_size=opt.batch_size)
+                    else:
+                        # batch-level AEKD_loss_v2 binary gating (:74-141)
+                        loss_KD = aekd_v2_gate(grads[:-1], grads[-1],
+                                               kd_vals)
                     scale = jnp.zeros(len(grads))
                 elif opt.loss_weighting == "SVM":
                     # one-class-SVM loss weighting (the reference's
@@ -493,6 +532,16 @@ def train_student(opt, data: Dict, fold: int,
     eval_opt = opt.replace(mode="path")
     eval_step = build_eval_step(eval_opt, model)
 
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
+    # mid-fold resume (same machinery as the teacher, train/loop.py): full
+    # train state incl. optimizer/EMA/CRD banks
+    snap_path = os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_state.snap")
+    start_epoch = opt.epoch_count
+    if opt.resume and os.path.exists(snap_path):
+        state, done_epoch = load_train_state(snap_path, state)
+        start_epoch = done_epoch + 1
+        log(f"[fold {fold}] resumed from epoch {done_epoch}")
+
     # --data_parallel: replicate student state + frozen teacher over the
     # mesh, shard train batches (train_test_MT.py:62-64 / SURVEY §2.7).
     # Replicate the teacher BEFORE the step closes over it.
@@ -507,10 +556,12 @@ def train_student(opt, data: Dict, fold: int,
     total_epochs = opt.niter + opt.niter_decay
     best = {"acc": 0.0, "epoch": -1}
     avg_all_metrics = np.zeros(4)
-    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
     final_eval = None
 
-    for epoch in range(opt.epoch_count, total_epochs + 1):
+    from .schedules import PlateauTracker
+    plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+
+    for epoch in range(start_epoch, total_epochs + 1):
         t0 = time.time()
         agg: Dict[str, float] = {}
         for batch in PrefetchLoader(train_loader, depth=opt.prefetch_depth,
@@ -534,6 +585,13 @@ def train_student(opt, data: Dict, fold: int,
         final_eval = res
         path_metrics = np.array(res["metrics_path"]) \
             if "metrics_path" in res else np.zeros(4)
+
+        if plateau is not None:
+            from .optim import set_plateau_scale
+            state = state.replace(opt_state=set_plateau_scale(
+                state.opt_state, plateau.step(res["loss"])))
+        if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
+            save_train_state(snap_path, state, epoch)
 
         if epoch > opt.niter_decay - 3:  # :368-369
             avg_all_metrics += path_metrics

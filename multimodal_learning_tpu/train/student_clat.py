@@ -33,7 +33,8 @@ from ..eval.metrics import extended_grading_metrics, one_hot
 from ..gradweight import gk_refine_thresh_weights
 from ..losses import cox_loss, distill_kl, l1_regularizer, nll_loss
 from ..models.factory import _dtype, define_model
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import (load_train_state, save_checkpoint,
+                                save_train_state)
 from .ema import update_ema
 from .loop import evaluate
 from .optim import make_optimizer
@@ -234,6 +235,15 @@ def train_clat_student(opt, data: Dict, fold: int,
     eval_opt = opt.replace(mode="path")
     eval_step = build_eval_step(eval_opt, model)
 
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
+    # mid-fold resume (same machinery as the teacher/student drivers)
+    snap_path = os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_state.snap")
+    start_epoch = opt.epoch_count
+    if opt.resume and os.path.exists(snap_path):
+        state, done_epoch = load_train_state(snap_path, state)
+        start_epoch = done_epoch + 1
+        log(f"[fold {fold}] resumed from epoch {done_epoch}")
+
     # --data_parallel wiring (see train/student.py); teacher replicated
     # before the step closes over it
     from ..parallel.mesh import replicated_sharding, setup_data_parallel
@@ -246,10 +256,12 @@ def train_clat_student(opt, data: Dict, fold: int,
 
     total_epochs = opt.niter + opt.niter_decay
     best = {"acc": 0.0, "epoch": -1, "ext": None}
-    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
     final_eval = None
 
-    for epoch in range(opt.epoch_count, total_epochs + 1):
+    from .schedules import PlateauTracker
+    plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+
+    for epoch in range(start_epoch, total_epochs + 1):
         t0 = time.time()
         agg: Dict[str, float] = {}
         reweight_on = jnp.asarray(epoch >= opt.start_reweight)
@@ -275,6 +287,13 @@ def train_clat_student(opt, data: Dict, fold: int,
             one_hot(res["gt"], opt.label_dim), res["probs"]["path"]) \
             if opt.task == "grad" else {}
         res["ext_metrics"] = ext
+
+        if plateau is not None:
+            from .optim import set_plateau_scale
+            state = state.replace(opt_state=set_plateau_scale(
+                state.opt_state, plateau.step(res["loss"])))
+        if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
+            save_train_state(snap_path, state, epoch)
 
         if opt.verbose:
             log(f"[fold {fold}] epoch {epoch}/{total_epochs} "

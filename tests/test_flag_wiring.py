@@ -153,3 +153,183 @@ def test_teacher_bn_modes_run(rng, mode):
     _, metrics = step(state, _batch(rng), jax.random.PRNGKey(2),
                       jnp.asarray(0.5))
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def test_options_closure():
+    """Every Options field is either consumed somewhere in the package or
+    registered in DEAD_FLAGS with a reason (VERDICT r2 #4: no flag may
+    parse and silently do nothing without being on the record)."""
+    import dataclasses
+    import pathlib
+    import re
+
+    from multimodal_learning_tpu.config.options import DEAD_FLAGS, Options
+
+    pkg_root = pathlib.Path(
+        __import__("multimodal_learning_tpu").__file__).parent
+    src = ""
+    for p in pkg_root.rglob("*.py"):
+        if p.name != "options.py":
+            src += p.read_text()
+    for extra in ("bench.py", "__graft_entry__.py"):
+        q = pkg_root.parent / extra
+        if q.exists():
+            src += q.read_text()
+
+    missing = []
+    for f in dataclasses.fields(Options):
+        if f.name in DEAD_FLAGS:
+            continue
+        pat = re.compile(r"\bopt\.%s\b|\beval_opt\.%s\b|[\"']%s[\"']"
+                         % (f.name, f.name, f.name))
+        if not pat.search(src):
+            missing.append(f.name)
+    assert not missing, (
+        f"Options fields neither consumed nor in DEAD_FLAGS: {missing}")
+    stale = [k for k in DEAD_FLAGS
+             if k not in {f.name for f in dataclasses.fields(Options)}]
+    assert not stale, f"DEAD_FLAGS entries without an Options field: {stale}"
+
+
+def test_aekd_v2_gate_per_sample_matches_torch_math(rng):
+    """Per-sample AEKD_loss_v2 (sample_KD mode) vs a numpy transliteration
+    of the reference (:103-112, :131-136)."""
+    from multimodal_learning_tpu.gradweight import aekd_v2_gate
+
+    b, d, n_kd = 8, 16, 3
+    kd_grads = [rng.normal(size=(b, d)).astype(np.float32)
+                for _ in range(n_kd)]
+    ce = rng.normal(size=(b, d)).astype(np.float32)
+    kd_losses = [rng.uniform(0.1, 2.0, b).astype(np.float32)
+                 for _ in range(n_kd)]
+
+    total = aekd_v2_gate([jnp.asarray(g) for g in kd_grads], jnp.asarray(ce),
+                         [jnp.asarray(x) for x in kd_losses],
+                         per_sample=True, batch_size=b)
+
+    # reference: per-row cosine(KD grad, CE grad) > 0 gate, then
+    # sum(gate * losses) / batch_size
+    ref = 0.0
+    for g, l in zip(kd_grads, kd_losses):
+        num = (g * ce).sum(1)
+        den = np.linalg.norm(g, axis=1) * np.linalg.norm(ce, axis=1)
+        gate = (num / den > 0).astype(np.float32)
+        ref += (gate * l).sum()
+    ref /= b
+    assert float(total) == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_sample_kd_step_runs(rng):
+    opt = _opt(distill="kd", num_teachers=2, assign_weights=True,
+               CE_grads=True, student_customize=True, sample_KD=True,
+               alpha=1.0, CRD_distill=0)
+    model, teacher, tvars, tx, state = _student_setup(opt)
+    step = build_student_train_step(opt, model, teacher, tvars, tx)
+    _, metrics = step(state, _batch(rng), jax.random.PRNGKey(2),
+                      jnp.asarray(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss_KD"]) >= 0.0
+
+
+def test_sample_kd_fails_fast_without_customize():
+    opt = _opt(distill="kd", num_teachers=2, sample_KD=True)
+    model, teacher, tvars, tx, state = _student_setup(opt)
+    with pytest.raises(NotImplementedError, match="sample_KD"):
+        build_student_train_step(opt, model, teacher, tvars, tx)
+
+
+def test_plateau_policy_scales_updates():
+    """--lr_policy plateau: tracker drops the scale after `patience`
+    non-improving epochs and the injected hyperparam shrinks the updates."""
+    import optax
+
+    from multimodal_learning_tpu.train.optim import (plateau_scale_of,
+                                                     set_plateau_scale)
+    from multimodal_learning_tpu.train.schedules import PlateauTracker
+
+    opt = _opt(lr_policy="plateau", lr=0.1, weight_decay=0.0)
+    tx = make_optimizer(opt, make_lr_schedule(opt, 4))
+    params = {"w": jnp.ones(4)}
+    st = tx.init(params)
+    grads = {"w": jnp.ones(4)}
+
+    _, st1 = tx.update(grads, st, params)
+    up_full, _ = tx.update(grads, st, params)
+
+    # 1 improving epoch then 6 flat ones -> factor 0.2 (patience 5)
+    tracker = PlateauTracker()
+    scale = tracker.step(1.0)
+    for _ in range(6):
+        scale = tracker.step(1.0)
+    assert scale == pytest.approx(0.2)
+
+    st_scaled = set_plateau_scale(st, scale)
+    assert plateau_scale_of(st_scaled) == pytest.approx(0.2)
+    up_scaled, _ = tx.update(grads, st_scaled, params)
+    ratio = float(up_scaled["w"][0] / up_full["w"][0])
+    assert ratio == pytest.approx(0.2, rel=1e-5)
+
+
+def test_plateau_loop_smoke(tmp_path):
+    """End-to-end: the teacher loop runs under --lr_policy plateau."""
+    from multimodal_learning_tpu.data import make_synthetic_splits
+    from multimodal_learning_tpu.train.loop import train_teacher
+
+    data = make_synthetic_splits(n_train=16, n_test=8, roi_size=32, seed=3)
+    opt = Options(mode="omic", task="grad", model_name="plat", omic_dim=8,
+                  input_size_path=32, batch_size=8, lr=1e-3, verbose=0,
+                  checkpoints_dir=str(tmp_path), host_workers=2,
+                  reg_type="none", CRD_distill=0, pred_distill=0,
+                  lr_policy="plateau", niter=0, niter_decay=2)
+    res, _ = train_teacher(opt, data, fold=1)
+    assert np.isfinite(res["loss"])
+
+
+def test_init_type_reinit(rng):
+    from multimodal_learning_tpu.models.common import apply_init_type
+
+    params = {
+        "conv1": {"kernel": jnp.asarray(
+            rng.normal(size=(3, 3, 4, 8)).astype(np.float32)),
+            "bias": jnp.ones(8)},
+        "bn1": {"scale": jnp.ones(8) * 0.5, "bias": jnp.ones(8)},
+        "fc": {"kernel": jnp.asarray(
+            rng.normal(size=(8, 3)).astype(np.float32)),
+            "bias": jnp.ones(3)},
+    }
+    k = jax.random.PRNGKey(0)
+    # max / none: untouched
+    same = apply_init_type(k, params, "max", 0.02)
+    assert float(jnp.abs(same["conv1"]["kernel"]
+                         - params["conv1"]["kernel"]).max()) == 0.0
+    # orthogonal: kernels re-drawn, biases zeroed, BN scale ~ N(1, gain)
+    out = apply_init_type(k, params, "orthogonal", 0.5)
+    assert float(jnp.abs(out["fc"]["kernel"]
+                         - params["fc"]["kernel"]).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(out["fc"]["bias"]), 0.0)
+    np.testing.assert_allclose(np.asarray(out["conv1"]["bias"]), 0.0)
+    assert abs(float(out["bn1"]["scale"].mean()) - 1.0) < 0.5
+    np.testing.assert_allclose(np.asarray(out["bn1"]["bias"]), 0.0)
+    # orthogonality of the fc kernel (gain 1)
+    out1 = apply_init_type(k, params, "orthogonal", 1.0)
+    ktk = np.asarray(out1["fc"]["kernel"].T @ out1["fc"]["kernel"])
+    np.testing.assert_allclose(ktk, np.eye(3), atol=1e-5)
+    # unknown type fails fast
+    with pytest.raises(NotImplementedError):
+        apply_init_type(k, params, "bogus", 0.02)
+
+
+def test_split_pickle_path_naming():
+    from multimodal_learning_tpu.data.splits import split_pickle_path
+
+    opt = Options(dataroot="/d")
+    assert split_pickle_path(opt).endswith(
+        "splits_5cv_2022/gbmlgg5cv_all_st_1_1_0.pkl")
+    assert split_pickle_path(opt, patches=True).endswith(
+        "gbmlgg5cv_all_st_patches_512_1_1_0.pkl")
+    opt2 = Options(dataroot="/d", use_vgg_features=1, use_rnaseq=1)
+    assert split_pickle_path(opt2).endswith(
+        "gbmlgg5cv_all_st_patches_512_1_1_1_rnaseq.pkl")

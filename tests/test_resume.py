@@ -35,3 +35,62 @@ def test_mid_fold_resume(tmp_path):
                   **{**common, "model_name": "res2"})
     train_teacher(opt, data, fold=1, log=logs2.append)
     assert not any("resumed" in str(m) for m in logs2)
+
+
+def _stage_common(tmp_path):
+    return dict(task="grad", label_dim=3, niter=0, batch_size=8,
+                input_size_path=32, lr=1e-3, verbose=0,
+                checkpoints_dir=str(tmp_path), host_workers=2, seed=0,
+                reg_type="none", path_dim=16, omic_dim=16, mmhid=16,
+                feat_dim=8)
+
+
+def test_student_mid_fold_resume(tmp_path):
+    """VERDICT r2 #6: the student driver snapshots and resumes mid-fold."""
+    from multimodal_learning_tpu.train.student import train_student
+
+    data = make_synthetic_splits(n_train=24, n_test=8, roi_size=32, seed=9)
+    common = _stage_common(tmp_path)
+    t_opt = Options(mode="pathomic", model_name="tch", niter_decay=1,
+                    CRD_distill=0, pred_distill=1, **common)
+    train_teacher(t_opt, data, fold=1)
+
+    s_common = dict(mode="pathomic", model_name="stu", fixed_model="tch",
+                    distill="kd", num_teachers=2, alpha=1.0,
+                    CRD_distill=0, pred_distill=1, patience=0.0,
+                    snapshot_every=1, **common)
+    train_student(Options(niter_decay=1, **s_common), data, fold=1)
+    snap = os.path.join(str(tmp_path), "grad_15", "stu", "stu_1_state.snap")
+    assert os.path.exists(snap)
+
+    logs = []
+    res, _, _ = train_student(Options(niter_decay=2, resume=True,
+                                      **s_common), data, fold=1,
+                              log=logs.append)
+    assert any("resumed from epoch 1" in str(m) for m in logs)
+    assert np.isfinite(res["loss"])
+
+
+def test_clat_mid_fold_resume(tmp_path):
+    from multimodal_learning_tpu.train.student_clat import train_clat_student
+
+    data = make_synthetic_splits(n_train=24, n_test=8, roi_size=32, seed=9)
+    common = _stage_common(tmp_path)
+    t_opt = Options(mode="pathomic", model_name="ct", niter_decay=1,
+                    CRD_distill=0, pred_distill=1, **common)
+    train_teacher(t_opt, data, fold=1)
+
+    s_common = dict(mode="pathomic", model_name="cs", fixed_model="ct",
+                    distill="kd", num_teachers=2, alpha=1.0,
+                    CRD_distill=0, pred_distill=1, patience=0.0,
+                    snapshot_every=1, **common)
+    train_clat_student(Options(niter_decay=1, **s_common), data, fold=1)
+    snap = os.path.join(str(tmp_path), "grad_15", "cs", "cs_1_state.snap")
+    assert os.path.exists(snap)
+
+    logs = []
+    res, _, _ = train_clat_student(Options(niter_decay=2, resume=True,
+                                           **s_common), data, fold=1,
+                                   log=logs.append)
+    assert any("resumed from epoch 1" in str(m) for m in logs)
+    assert np.isfinite(res["loss"])
