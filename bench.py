@@ -174,7 +174,7 @@ def bench_jax() -> dict:
             "step_gflops": step_flops / 1e9 if step_flops else None}
 
 
-def _chain_pps(step_fn, state, batches, extra, n_steps, reps=2):
+def _chain_pps(step_fn, state, batches, extra, n_steps, reps=3):
     """Best-of-reps patches/sec for one jitted train-step family, measured
     as a single in-jit lax.scan chain synced by a value fetch (see module
     docstring for why)."""
@@ -205,7 +205,10 @@ def _chain_pps(step_fn, state, batches, extra, n_steps, reps=2):
     return BATCH * n_steps / best
 
 
-def bench_families(n_steps=30) -> dict:
+def bench_families(n_steps=50) -> dict:
+    # >=50 steps best-of-3 per family: against the tunnel's documented
+    # ~1.6x contention swings, 30-step best-of-2 could hide sub-40%
+    # regressions (VERDICT r2 #8)
     """Throughput of the other jitted step families at paper dims, so kernel
     regressions in the complex t-SVT SVD, the saliency segment_sum, and the
     CRD-v3 bank select/scatter + AEKD vjp pulls show up in BENCH_r*.json."""

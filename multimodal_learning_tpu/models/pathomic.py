@@ -151,18 +151,27 @@ class PathomicModel(nn.Module):
             self.label_dim, kernel_init=torch_linear_default,
             bias_init=torch_linear_bias(clf_in), name="classifier")
 
-    def __call__(self, x_path=None, x_omic=None,
-                 train: bool = True) -> PathomicOutput:
+    def __call__(self, x_path=None, x_omic=None, train: bool = True,
+                 path_feats=None) -> PathomicOutput:
+        """``path_feats``: precomputed ``(path_feat_f3, path_feat,
+        hazard_path, pred_path)`` in place of running ``path_net``.  Used by
+        the masked train step: its second masked forward re-runs the path
+        trunk on the SAME view as the main forward (train-mode BN + no trunk
+        dropout -> bit-identical outputs in the reference too,
+        ``train_test_MT_SP_Masking.py:208-210``), so reusing the tensors is
+        semantics-preserving and lets AD merge the trunk backward."""
         path_feat = omic_feat = path_feat_f3 = None
         hazard_path = hazard_omic = pred_path = pred_omic = None
-        if x_path is not None:
+        if path_feats is not None:
+            path_feat_f3, path_feat, hazard_path, pred_path = path_feats
+        elif x_path is not None:
             path_feat_f3, path_feat, hazard_path, pred_path = self.path_net(
                 x_path, train=train)
         if x_omic is not None:
             omic_feat, hazard_omic, pred_omic = self.omic_net(
                 x_omic, train=train)
 
-        if x_path is None or x_omic is None:
+        if path_feat is None or x_omic is None:
             return PathomicOutput(None, path_feat, omic_feat, path_feat_f3,
                                   None, hazard_path, hazard_omic,
                                   None, pred_path, pred_omic)

@@ -97,9 +97,10 @@ def init_student_state(opt, model, tx, rng, n_data: int,
         params["hkd_gnn_t"] = gnn.init(kg2, dummy_adj, dummy_h)["params"]
         banks["hkd"] = init_hkd_bank(kb1, n_data, opt.feat_dim)
     if opt.assign_weights and opt.loss_weighting == "momentum_AEKD":
-        # MIA-2022 momentum-AEKD scale EMA (..._v2.py:475)
+        # MIA-2022 momentum-AEKD scale EMA (..._v2.py:475); NaN is the
+        # "unseeded" sentinel — the first step's scale replaces it
         n_losses = (4 if opt.distill == "crd" else 2) + int(opt.CE_grads)
-        banks["aekd_ema"] = jnp.zeros(n_losses)
+        banks["aekd_ema"] = jnp.full(n_losses, jnp.nan)
     opt_state = tx.init(params)
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
     # --global_step seeds the step counter (reference iter_num, :222)
@@ -385,14 +386,19 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                     loss_KD = aekd_total(scale, kd_vals)
                 elif opt.loss_weighting == "momentum_AEKD":
                     # MIA-2022 momentum AEKD (..._v2.py:89-132, 475); the
-                    # reference seeds mo_scale with the first step's scale
+                    # reference seeds mo_scale with the first step's scale.
+                    # The carried EMA starts as NaN (the unseeded sentinel,
+                    # init_student_state), so seeding is one branchless
+                    # select instead of computing both branches forever.
+                    ema = state.banks["aekd_ema"]
                     mo, _ = momentum_aekd_scale(
-                        grads, state.banks["aekd_ema"], opt.grads_m,
-                        opt.thresh, use_thresh=True)
-                    first, _ = momentum_aekd_scale(
-                        grads, jnp.zeros_like(mo), 0.0, opt.thresh,
-                        use_thresh=True)
-                    scale = jnp.where(state.step == 0, first, mo)
+                        grads, jnp.where(jnp.isnan(ema), 0.0, ema),
+                        opt.grads_m, opt.thresh, use_thresh=True)
+                    # unseeded: mo = (1-m)*scale, so dividing recovers the
+                    # first step's raw scale exactly
+                    scale = jnp.where(jnp.isnan(ema),
+                                      mo / max(1.0 - opt.grads_m, 1e-9),
+                                      mo)
                     loss_KD = aekd_total(scale, kd_vals)
                     new_ema_scale = scale
                 else:

@@ -20,20 +20,35 @@ def _opt(dp, name):
         model_name=name)
 
 
+def _epoch_losses(model_name):
+    import json
+    import os
+    path = os.path.join("/tmp/mml_tpu_test_ckpt", "grad_15", model_name,
+                        "metrics.jsonl")
+    rows = [json.loads(l) for l in open(path)]
+    return [r["train_loss"] for r in rows if "train_loss" in r]
+
+
 def test_teacher_data_parallel_matches_single_device():
+    import glob
+    import os
+    for f in glob.glob("/tmp/mml_tpu_test_ckpt/grad_15/dp_t*/metrics.jsonl"):
+        os.remove(f)   # JSONL is append-only; drop stale runs
     data = make_synthetic_splits(n_train=32, n_test=16, roi_size=32, seed=7)
-    logs1, logs8 = [], []
-    res1, _ = train_teacher(_opt(0, "dp_t1"), data, fold=1,
-                            log=lambda m: logs1.append(m))
-    res8, _ = train_teacher(_opt(8, "dp_t8"), data, fold=1,
-                            log=lambda m: logs8.append(m))
+    res1, _ = train_teacher(_opt(0, "dp_t1"), data, fold=1)
+    res8, _ = train_teacher(_opt(8, "dp_t8"), data, fold=1)
     assert np.isfinite(res8["loss"])
-    # same data order / RNG stream on both paths: the sharded run's final
-    # eval loss must track the single-device run (global-BN psums and grad
-    # reductions are semantically invisible; tolerance covers
-    # float-reduction-order drift amplified by two epochs of Adam)
-    assert res8["loss"] == pytest.approx(res1["loss"], rel=0.05)
-    assert res8["acc_fuse"] == pytest.approx(res1["acc_fuse"], abs=0.25)
+    # same data order / RNG stream on both paths: the sharded run must
+    # track the single-device run (global-BN psums and grad reductions are
+    # semantically invisible).  Assert on the PER-EPOCH train-loss series,
+    # not one end scalar (VERDICT r2 #8), with a tolerance that covers only
+    # float-reduction-order drift amplified through Adam.
+    s1, s8 = _epoch_losses("dp_t1"), _epoch_losses("dp_t8")
+    assert len(s1) == len(s8) >= 2
+    for a, b in zip(s1, s8):
+        assert b == pytest.approx(a, rel=0.01), (s1, s8)
+    assert res8["loss"] == pytest.approx(res1["loss"], rel=0.01)
+    assert res8["acc_fuse"] == pytest.approx(res1["acc_fuse"], abs=0.15)
 
 
 def test_data_parallel_rejects_indivisible_batch():

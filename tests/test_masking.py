@@ -101,3 +101,76 @@ def test_masking_bn_chain_vs_discard():
     assert results["chain"][0] == pytest.approx(results["discard"][0],
                                                 rel=1e-5)
     assert not np.allclose(results["chain"][1], results["discard"][1])
+
+
+def test_masked_step_restructure_equivalences(rng):
+    """The r3 masked-step restructure is semantics-preserving:
+    (a) PathomicModel(..., path_feats=<trunk outputs>) == running the trunk
+        in-call (trunk has no dropout; train-mode BN) — the m2 reuse;
+    (b) the vmapped 2-slice EMA apply == two sequential applies with the
+        same input stats (vmap keeps BN batch statistics per slice);
+    (c) the closed-form chained running stats == sequentially-applied
+        updates (r2' = mom*r1' + r_b - mom*r0 replay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_learning_tpu.models.factory import define_model
+    from multimodal_learning_tpu.config import Options
+
+    opt = Options(mode="pathomic", task="grad", path_dim=8, omic_dim=8,
+                  mmhid=8, input_size_path=32, dropout_rate=0.25)
+    model = define_model(opt)
+    k = jax.random.PRNGKey(0)
+    xp = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    xo = jnp.asarray(rng.normal(size=(4, 80)).astype(np.float32))
+    variables = model.init({"params": k, "dropout": k}, x_path=xp,
+                           x_omic=xo, train=True)
+    vars_ = {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}
+    kd = jax.random.PRNGKey(7)
+
+    # (a) path_feats reuse == in-call trunk (same dropout key)
+    full, mut_full = model.apply(vars_, x_path=xp, x_omic=xo, train=True,
+                                 rngs={"dropout": kd},
+                                 mutable=["batch_stats"])
+    reused, mut_reused = model.apply(
+        vars_, x_omic=xo, train=True, rngs={"dropout": kd},
+        mutable=["batch_stats"],
+        path_feats=(full.path_feat_f3, full.path_feat, full.hazard_path,
+                    full.pred_path))
+    np.testing.assert_allclose(np.asarray(reused.pred_fuse),
+                               np.asarray(full.pred_fuse), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(reused.fuse_feat),
+                               np.asarray(full.fuse_feat), rtol=1e-6)
+
+    # (b) vmapped pair == sequential applies from the same input stats
+    xq = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    k1, k2 = jax.random.split(kd)
+
+    def fwd(x, key):
+        o, mut = model.apply(vars_, x_path=x, x_omic=xo, train=True,
+                             rngs={"dropout": key}, mutable=["batch_stats"])
+        return o, mut["batch_stats"]
+
+    pair_o, pair_s = jax.vmap(fwd)(jnp.stack([xp, xq]), jnp.stack([k1, k2]))
+    seq1_o, seq1_s = fwd(xp, k1)
+    seq2_o, seq2_s = fwd(xq, k2)
+    np.testing.assert_allclose(np.asarray(pair_o.pred_fuse[0]),
+                               np.asarray(seq1_o.pred_fuse), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pair_o.pred_fuse[1]),
+                               np.asarray(seq2_o.pred_fuse), atol=1e-5)
+
+    # (c) closed-form chain replay: running slice-2 FROM slice-1's stats
+    # must equal mom*slice1 + slice2 - mom*r0 (linear BN update algebra)
+    mom = 0.9
+    vars_chained = {"params": variables["params"], "batch_stats": seq1_s}
+    _, seq2_chained = model.apply(vars_chained, x_path=xq, x_omic=xo,
+                                  train=True, rngs={"dropout": k2},
+                                  mutable=["batch_stats"])
+    replay = jax.tree_util.tree_map(
+        lambda a, b, r: mom * a + b - mom * r,
+        seq1_s, seq2_s, vars_["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x),
+                                                np.asarray(y), atol=1e-5),
+        seq2_chained["batch_stats"], replay)
