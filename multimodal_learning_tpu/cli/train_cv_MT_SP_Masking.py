@@ -18,6 +18,9 @@ from .train_cv_MT import main as _main
 
 
 def main(argv=None):
+    # multi-host meshes: no-op unless MML_MULTIHOST=1
+    from ..parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
     return _main(argv)
 
 

@@ -20,6 +20,9 @@ from ..train.student import train_student
 
 
 def main(argv=None):
+    # multi-host meshes: no-op unless MML_MULTIHOST=1
+    from ..parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
     opt = parse_args(argv)
     if opt.synthetic_data:
         data = make_synthetic_splits(n_train=64, n_test=32,

@@ -223,10 +223,20 @@ class PrefetchLoader:
         q: Queue = Queue(maxsize=self.depth)
         stop = object()
 
+        def _put(batch):
+            if (isinstance(self.device, jax.sharding.Sharding)
+                    and jax.process_count() > 1):
+                # multi-host: this process contributes its local slice of
+                # the global batch (parallel/mesh.py module docstring)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self.device, np.asarray(x)), batch)
+            return jax.device_put(batch, self.device)
+
         def producer():
             try:
                 for batch in self.loader:
-                    q.put(jax.device_put(batch, self.device))
+                    q.put(_put(batch))
             finally:
                 q.put(stop)
 

@@ -8,20 +8,37 @@ psums and global BatchNorm reductions automatically when the train step is
 jitted with these shardings.  On one chip everything degenerates to local
 compute; on a pod slice the same program scales over ICI with no code change.
 
-Multi-host extension point (untested here — this rig has one chip): call
-``jax.distributed.initialize()`` before first device use, build the mesh
-over ``jax.devices()`` (global), and replace ``shard_batch``'s
-``device_put`` with ``jax.make_array_from_process_local_data`` so each host
-contributes its local slice of the global batch.  The train steps themselves
-need no change — they are already written against global-batch shardings.
+Multi-host: ``maybe_init_distributed()`` (called by every training CLI)
+initializes the jax distributed runtime when ``MML_MULTIHOST=1``; the mesh
+then spans ``jax.devices()`` globally and ``shard_batch`` switches to
+``jax.make_array_from_process_local_data`` so each host contributes its
+local slice of the global batch.  The train steps need no change — they
+are already written against global-batch shardings.  (Single-chip rig:
+the multi-process branch is exercised only as the process_count==1
+degenerate case; multi-host hardware runs the same code path.)
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize the jax distributed runtime for multi-host meshes.
+
+    Gated on ``MML_MULTIHOST=1`` (the coordinator address / process ids are
+    auto-detected on TPU pods; override with the standard
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_PROCESS_ID`` env).  Returns whether
+    initialization ran.  Must be called before first device use.
+    """
+    if os.environ.get("MML_MULTIHOST") != "1":
+        return False
+    jax.distributed.initialize()
+    return True
 
 
 def data_mesh(n_devices: int = 0) -> Mesh:
@@ -37,8 +54,17 @@ def data_mesh(n_devices: int = 0) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Shard every array's leading (batch) axis over ``data``."""
+    """Shard every array's leading (batch) axis over ``data``.
+
+    Single-process: a sharded ``device_put``.  Multi-host (process_count >
+    1): each process contributes its local slice of the global batch via
+    ``make_array_from_process_local_data``.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

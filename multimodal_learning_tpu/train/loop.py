@@ -54,7 +54,12 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
     # Device outputs are only *collected* inside the loop — no float()/
     # np.asarray per batch, which on the tunnel costs a ~25 ms blocking sync
     # each and serialises the eval steps (VERDICT r2 #7).  One device_get at
-    # the end fetches everything and lets the steps pipeline.
+    # the end fetches everything and lets the steps pipeline.  H2D is
+    # pipelined too: plain Loaders get wrapped in a 2-deep PrefetchLoader.
+    from ..data.pipeline import Loader as _HostLoader
+    from ..data.pipeline import PrefetchLoader as _Prefetch
+    if isinstance(loader, _HostLoader):
+        loader = _Prefetch(loader, depth=2)
     for batch in loader:
         key, sub = jax.random.split(key)
         out, parts = eval_step(params, batch_stats, batch, sub)
@@ -67,11 +72,15 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
             if feat is not None:
                 feats[name].append(feat)
         loss_parts.append(parts)
-        gts.append(np.asarray(batch["g"]))
-        times.append(np.asarray(batch["t"]))
-        events.append(np.asarray(batch["e"]))
+        gts.append(batch["g"])
+        times.append(batch["t"])
+        events.append(batch["e"])
 
-    probs, feats, loss_parts = jax.device_get((probs, feats, loss_parts))
+    probs, feats, loss_parts, gts, times, events = jax.device_get(
+        (probs, feats, loss_parts, gts, times, events))
+    gts = [np.asarray(g) for g in gts]
+    times = [np.asarray(t) for t in times]
+    events = [np.asarray(e) for e in events]
     losses = {name: float(sum(np.asarray(p[f"loss_{name}"])
                               for p in loss_parts))
               for name in ("fuse", "path", "omic")} if loss_parts else \
