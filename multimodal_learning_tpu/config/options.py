@@ -204,6 +204,14 @@ class Options:
     #                                        kernel (same Bernoulli law as
     #                                        the reference's Dropout on the
     #                                        Kronecker vector, fusion.py:59)
+    paired_conv: bool = False              # lane-paired ResNet convs (stem +
+    #                                        64-ch stage): exact reformulation
+    #                                        that fills all 128 MXU lanes and
+    #                                        wins 1.5x in isolated compute,
+    #                                        but the un-pairing relayout makes
+    #                                        it net-SLOWER in the model
+    #                                        (ops/paired_conv.py, PROFILE_r03
+    #                                        §3) — kept for other chips/shapes
     host_workers: int = 4                  # decode threads (ref num_workers=4)
     prefetch_depth: int = 2                # device prefetch buffers
     pretrained_path: str = ""              # path to converted ResNet18 weights

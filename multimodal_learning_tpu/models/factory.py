@@ -20,7 +20,8 @@ def define_model(opt, path_only: bool = False,
     encoders (``networks_new.py:63-74``)."""
     if opt.mode == "path" or (opt.mode == "pathomic" and path_only):
         return ResNet18(path_dim=opt.path_dim, num_classes=opt.label_dim,
-                        act_type=opt.act_type, dtype=_dtype(opt))
+                        act_type=opt.act_type, dtype=_dtype(opt),
+                        paired=getattr(opt, "paired_conv", False))
     if opt.mode == "omic" or (opt.mode == "pathomic" and omic_only):
         return MaxNet(input_dim=opt.input_size_omic, omic_dim=opt.omic_dim,
                       dropout_rate=opt.dropout_rate, act_type=opt.act_type,
@@ -32,7 +33,8 @@ def define_model(opt, path_only: bool = False,
             path_dim=opt.path_dim, omic_dim=opt.omic_dim, mmhid=opt.mmhid,
             label_dim=opt.label_dim, input_size_omic=opt.input_size_omic,
             dropout_rate=opt.dropout_rate, act_type=opt.act_type,
-            init_max=(opt.init_type == "max"), dtype=_dtype(opt))
+            init_max=(opt.init_type == "max"), dtype=_dtype(opt),
+            paired_conv=getattr(opt, "paired_conv", False))
     if opt.mode == "pathomic":
         return PathomicModel(
             path_dim=opt.path_dim, omic_dim=opt.omic_dim, mmhid=opt.mmhid,
@@ -43,5 +45,6 @@ def define_model(opt, path_only: bool = False,
             omic_gate=opt.omic_gate, path_scale=opt.path_scale,
             omic_scale=opt.omic_scale, cut_fuse_grad=opt.cut_fuse_grad,
             init_max=(opt.init_type == "max"), dtype=_dtype(opt),
-            pallas_fusion=getattr(opt, "pallas_fusion", "off"))
+            pallas_fusion=getattr(opt, "pallas_fusion", "off"),
+            paired_conv=getattr(opt, "paired_conv", False))
     raise NotImplementedError(f"mode [{opt.mode}] is not implemented")

@@ -83,12 +83,15 @@ class PathomicDynamicsModel(nn.Module):
     act_type: str = "LSM"
     init_max: bool = True
     dtype: Any = jnp.float32
+    paired_conv: bool = False    # lane-paired ResNet convs — measured net-slower
+    #                          in situ (relayout-bound); see ops/paired_conv.py
 
     def setup(self):
         from .mmdynamic import MMDynamic
         self.path_net = ResNet18(path_dim=self.path_dim,
                                  num_classes=self.label_dim,
-                                 act_type=self.act_type, dtype=self.dtype)
+                                 act_type=self.act_type, dtype=self.dtype,
+                                 paired=self.paired_conv)
         self.omic_net = MaxNet(input_dim=self.input_size_omic,
                                omic_dim=self.omic_dim,
                                dropout_rate=self.dropout_rate,
@@ -127,11 +130,14 @@ class PathomicModel(nn.Module):
     init_max: bool = True
     dtype: Any = jnp.float32
     pallas_fusion: str = "off"   # off|eval|train (pofusion Pallas kernels)
+    paired_conv: bool = False    # lane-paired ResNet convs — measured net-slower
+    #                          in situ (relayout-bound); see ops/paired_conv.py
 
     def setup(self):
         self.path_net = ResNet18(path_dim=self.path_dim,
                                  num_classes=self.label_dim,
-                                 act_type=self.act_type, dtype=self.dtype)
+                                 act_type=self.act_type, dtype=self.dtype,
+                                 paired=self.paired_conv)
         self.omic_net = MaxNet(input_dim=self.input_size_omic,
                                omic_dim=self.omic_dim,
                                dropout_rate=self.dropout_rate,

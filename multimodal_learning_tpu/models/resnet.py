@@ -25,6 +25,7 @@ from flax import linen as nn
 from jax import lax
 
 from .common import apply_act, kaiming_normal_out, torch_linear_bias, torch_linear_default
+from ..ops.paired_conv import PairedConv3x3, PairedStemConv
 
 ModuleDef = Any
 
@@ -86,17 +87,28 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.float32
+    paired: bool = False     # lane-paired 3x3 convs at the 64-ch stage
+    #                          (ops/paired_conv.py) — exact reformulation
 
     @nn.compact
     def __call__(self, x):
         conv = partial(nn.Conv, use_bias=False, kernel_init=kaiming_normal_out,
                        dtype=self.dtype)
+        # Pairing pays only where Cout underfills the 128 MXU lanes (the
+        # 64-channel stage) and needs an even x-extent; both are static.
+        pair = self.paired and self.planes == 64 and x.shape[2] % 2 == 0
         identity = x
-        y = conv(self.planes, (3, 3), (self.stride, self.stride),
-                 padding=1, name="conv1")(x)
+        if pair and self.stride == 1:
+            y = PairedConv3x3(self.planes, dtype=self.dtype, name="conv1")(x)
+        else:
+            y = conv(self.planes, (3, 3), (self.stride, self.stride),
+                     padding=1, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        if pair:
+            y = PairedConv3x3(self.planes, dtype=self.dtype, name="conv2")(y)
+        else:
+            y = conv(self.planes, (3, 3), padding=1, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         if self.downsample:
             identity = conv(self.planes, (1, 1),
@@ -113,6 +125,8 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.float32
+    paired: bool = False     # accepted for interface parity; the 3x3 here
+    #                          sits mid-bottleneck — not a profiled shape
     expansion: int = 4
 
     @nn.compact
@@ -151,6 +165,14 @@ class ResNet(nn.Module):
     act_type: str = "LSM"
     dtype: Any = jnp.float32
     stem_s2d: bool = False    # measured slower on v5e, see _StemConv
+    paired: bool = False      # lane-paired stem + 64-ch stage convs
+    #                           (ops/paired_conv.py): exact same math/params
+    #                           and 1.5x faster in isolated compute, but the
+    #                           un-pairing relayout back to NHWC costs more
+    #                           than the MXU gain in situ (measured: stage-1
+    #                           0.54 vs 0.34 ms, stem+pool 2.97 vs 1.91 ms,
+    #                           tools/conv_lab.py honest_*) — default OFF,
+    #                           kept as the documented negative result
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
@@ -159,6 +181,8 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
         if self.stem_s2d:
             x = _StemConv(features=64, dtype=self.dtype, name="conv1")(x)
+        elif self.paired and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0:
+            x = PairedStemConv(features=64, dtype=self.dtype, name="conv1")(x)
         else:
             x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                         kernel_init=kaiming_normal_out, dtype=self.dtype,
@@ -178,6 +202,7 @@ class ResNet(nn.Module):
                 x = self.block(planes=planes, stride=stride,
                                downsample=(stride != 1 or in_ch != out_ch),
                                norm=norm, dtype=self.dtype,
+                               paired=self.paired,
                                name=f"layer{i + 1}_{j}")(x)
             if i == 2:  # layer3 GAP feature, resnets.py:234
                 feat_f3 = jnp.mean(x, axis=(1, 2))
@@ -198,17 +223,19 @@ class ResNet(nn.Module):
                 hazard, pred)
 
 
-def ResNet18(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32):
+def ResNet18(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32,
+             paired=False):
     """reference ``resnets.py:287-295``"""
     return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2),
                   path_dim=path_dim, num_classes=num_classes,
-                  act_type=act_type, dtype=dtype)
+                  act_type=act_type, dtype=dtype, paired=paired)
 
 
-def ResNet34(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32):
+def ResNet34(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32,
+             paired=False):
     return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3),
                   path_dim=path_dim, num_classes=num_classes,
-                  act_type=act_type, dtype=dtype)
+                  act_type=act_type, dtype=dtype, paired=paired)
 
 
 def ResNet50(path_dim=32, num_classes=3, act_type="LSM", dtype=jnp.float32):
