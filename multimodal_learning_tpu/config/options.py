@@ -305,8 +305,6 @@ DEAD_FLAGS = {
     # -------- N/A on this backend / subsumed by the TPU design
     "gpu_ids": "CUDA DataParallel device list; the TPU build shards via "
                "--data_parallel over a jax mesh (parallel/mesh.py)",
-    "final_lr": "adabound-only knob; adabound maps to adam here AND in the "
-                "reference (its adabound import is absent from the env)",
     "s_dim": "CRD embed input width; flax infers it from the feature "
              "(contrast/crd.py Embed) so it cannot disagree with the model",
     "t_dim": "CRD teacher embed input width; inferred likewise",
