@@ -224,13 +224,19 @@ class PrefetchLoader:
         stop = object()
 
         def _put(batch):
-            if (isinstance(self.device, jax.sharding.Sharding)
-                    and jax.process_count() > 1):
-                # multi-host: this process contributes its local slice of
-                # the global batch (parallel/mesh.py module docstring)
-                return jax.tree_util.tree_map(
-                    lambda x: jax.make_array_from_process_local_data(
-                        self.device, np.asarray(x)), batch)
+            if isinstance(self.device, jax.sharding.Sharding):
+                if jax.process_count() > 1:
+                    # multi-host: this process contributes its local slice of
+                    # the global batch (parallel/mesh.py module docstring)
+                    return jax.tree_util.tree_map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            self.device, np.asarray(x)), batch)
+                n_shards = self.device.mesh.size
+                lead = next(iter(batch.values())).shape[0]
+                if lead % n_shards != 0:
+                    # ragged final eval batch: leave it on host
+                    # (uncommitted) — jit places it to match the params
+                    return batch
             return jax.device_put(batch, self.device)
 
         def producer():

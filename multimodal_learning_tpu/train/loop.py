@@ -40,10 +40,15 @@ def _sample_shapes(opt):
     return shapes
 
 
-def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
+def evaluate(opt, eval_step, params, batch_stats, loader, key,
+             sharding=None) -> Dict:
     """reference ``test()`` (``train_test_MT.py:340-458``): accumulates
     per-branch probabilities / risks, returns losses + metrics + the
-    ``pred_test`` list used by offline analysis."""
+    ``pred_test`` list used by offline analysis.
+
+    ``sharding``: the data sharding when the caller's state is replicated
+    over a ``--data_parallel`` mesh — eval batches must be committed to the
+    same mesh (a device-0 batch against 8-device params is an error)."""
     probs = {"fuse": [], "path": [], "omic": []}
     feats = {"fuse": [], "path": [], "omic": []}
     loss_parts = []
@@ -59,7 +64,7 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key) -> Dict:
     from ..data.pipeline import Loader as _HostLoader
     from ..data.pipeline import PrefetchLoader as _Prefetch
     if isinstance(loader, _HostLoader):
-        loader = _Prefetch(loader, depth=2)
+        loader = _Prefetch(loader, depth=2, device=sharding)
     for batch in loader:
         key, sub = jax.random.split(key)
         out, parts = eval_step(params, batch_stats, batch, sub)
@@ -228,7 +233,8 @@ def train_teacher(opt, data: Dict, fold: int,
             loader_for_eval = patches_loader  # train_test_MT.py:287-289
         rng, sub = jax.random.split(rng)
         res = evaluate(opt, eval_step, state.params["model"],
-                       state.batch_stats, loader_for_eval, sub)
+                       state.batch_stats, loader_for_eval, sub,
+                       sharding=train_sharding)
         final_eval = res
 
         if plateau is not None:

@@ -587,7 +587,8 @@ def train_student(opt, data: Dict, fold: int,
             loader_for_eval = patches_loader  # :360-366
         rng, sub = jax.random.split(rng)
         res = evaluate(eval_opt, eval_step, state.params["model"],
-                       state.batch_stats, loader_for_eval, sub)
+                       state.batch_stats, loader_for_eval, sub,
+                       sharding=train_sharding)
         final_eval = res
         path_metrics = np.array(res["metrics_path"]) \
             if "metrics_path" in res else np.zeros(4)

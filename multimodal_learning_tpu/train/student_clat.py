@@ -280,7 +280,8 @@ def train_clat_student(opt, data: Dict, fold: int,
             loader_for_eval = patches_loader
         rng, sub = jax.random.split(rng)
         res = evaluate(eval_opt, eval_step, state.params["model"],
-                       state.batch_stats, loader_for_eval, sub)
+                       state.batch_stats, loader_for_eval, sub,
+                       sharding=train_sharding)
         final_eval = res
         # 9-metric CLAT report (stage2 ...distill.py:655-672)
         ext = extended_grading_metrics(
@@ -329,7 +330,7 @@ def train_clat_student(opt, data: Dict, fold: int,
         rng, sub = jax.random.split(rng)
         t_res = evaluate(opt, t_eval_step, teacher_vars["params"],
                          teacher_vars.get("batch_stats", {}), test_loader,
-                         sub)
+                         sub, sharding=train_sharding)
         s_feats = final_eval["feats"].get("path")
         t_feats = t_res["feats"].get("fuse")
         if (s_feats is not None and t_feats is not None

@@ -51,6 +51,31 @@ def test_teacher_data_parallel_matches_single_device():
     assert res8["acc_fuse"] == pytest.approx(res1["acc_fuse"], abs=0.15)
 
 
+def test_prefetch_loader_shards_and_ragged_fallback():
+    """PrefetchLoader with a data Sharding commits divisible batches to the
+    mesh and leaves a ragged final eval batch on host (uncommitted), so a
+    replicated-params eval_step accepts both (the r3 dp-eval bug)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multimodal_learning_tpu.data.pipeline import PrefetchLoader
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    batches = [{"x": np.ones((8, 4), np.float32)},
+               {"x": np.ones((5, 4), np.float32)}]   # ragged tail
+    out = list(PrefetchLoader(batches, depth=2, device=sh))
+    assert isinstance(out[0]["x"], jax.Array)
+    assert out[0]["x"].sharding.is_equivalent_to(sh, 2)
+    assert isinstance(out[1]["x"], np.ndarray)       # host fallback
+    # both flavours run against replicated params
+    params = jax.device_put(jnp.ones(4), NamedSharding(mesh, P()))
+    f = jax.jit(lambda p, b: jnp.sum(b["x"] * p))
+    assert np.isfinite(float(f(params, out[0])))
+    assert np.isfinite(float(f(params, out[1])))
+
+
 def test_data_parallel_rejects_indivisible_batch():
     data = make_synthetic_splits(n_train=30, n_test=8, roi_size=32, seed=7)
     opt = _opt(8, "dp_bad").replace(batch_size=6)
