@@ -226,11 +226,11 @@ class PrefetchLoader:
         def _put(batch):
             if isinstance(self.device, jax.sharding.Sharding):
                 if jax.process_count() > 1:
-                    # multi-host: this process contributes its local slice of
-                    # the global batch (parallel/mesh.py module docstring)
-                    return jax.tree_util.tree_map(
-                        lambda x: jax.make_array_from_process_local_data(
-                            self.device, np.asarray(x)), batch)
+                    # multi-host: every process runs the same Loader; each
+                    # contributes its process_index slice of the global
+                    # batch (parallel/mesh.py:shard_batch)
+                    from ..parallel.mesh import shard_batch
+                    return shard_batch(self.device.mesh, batch)
                 n_shards = self.device.mesh.size
                 lead = next(iter(batch.values())).shape[0]
                 if lead % n_shards != 0:

@@ -131,8 +131,10 @@ def make_hazard_swarm_plot(hazards: np.ndarray, grades: np.ndarray,
             try:
                 gi = int(g)
             except (TypeError, ValueError):
-                return color_of.get(g, base_colors[hash(str(g))
-                                                   % len(base_colors)])
+                # stable digest — builtin hash() is salted per process
+                import zlib
+                return color_of.get(g, base_colors[
+                    zlib.crc32(str(g).encode()) % len(base_colors)])
             return color_of.get(gi, base_colors[gi % len(base_colors)])
 
         for i, c in enumerate(cats):

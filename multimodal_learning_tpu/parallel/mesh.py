@@ -37,8 +37,17 @@ def maybe_init_distributed() -> bool:
     """
     if os.environ.get("MML_MULTIHOST") != "1":
         return False
+    # idempotent: delegating CLIs call this twice (the masking CLI wraps
+    # train_cv_MT.main), and jax.distributed.initialize raises on re-init
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
     jax.distributed.initialize()
+    _DISTRIBUTED_INITIALIZED = True
     return True
+
+
+_DISTRIBUTED_INITIALIZED = False
 
 
 def data_mesh(n_devices: int = 0) -> Mesh:
@@ -57,14 +66,30 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Shard every array's leading (batch) axis over ``data``.
 
     Single-process: a sharded ``device_put``.  Multi-host (process_count >
-    1): each process contributes its local slice of the global batch via
-    ``make_array_from_process_local_data``.
+    1): every host runs an IDENTICAL Loader (same split, same ``opt.seed``
+    -> same shuffle order, by construction in ``data/pipeline.py``), so the
+    host-side batch is the full global batch on every process; each process
+    contributes its own contiguous slice via
+    ``make_array_from_process_local_data``.  Slicing by ``process_index``
+    keeps the assembled global batch identical to the single-host one —
+    feeding the full batch from every host would stitch N duplicate copies
+    together instead.
     """
     sharding = NamedSharding(mesh, P("data"))
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)), batch)
+    n, rank = jax.process_count(), jax.process_index()
+    if n > 1:
+        def contribute(x):
+            x = np.asarray(x)
+            lead = x.shape[0]
+            if lead % n:
+                raise ValueError(
+                    f"global batch of {lead} not divisible by "
+                    f"{n} processes")
+            per = lead // n
+            return jax.make_array_from_process_local_data(
+                sharding, x[rank * per:(rank + 1) * per],
+                global_shape=x.shape)
+        return jax.tree_util.tree_map(contribute, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

@@ -48,7 +48,10 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key,
 
     ``sharding``: the data sharding when the caller's state is replicated
     over a ``--data_parallel`` mesh — eval batches must be committed to the
-    same mesh (a device-0 batch against 8-device params is an error)."""
+    same mesh (a device-0 batch against 8-device params is an error).
+    Multi-host: eval runs redundantly on every host from uncommitted host
+    batches (params are replicated, so outputs are too, and the final
+    ``device_get`` stays addressable; sharded outputs would not be)."""
     probs = {"fuse": [], "path": [], "omic": []}
     feats = {"fuse": [], "path": [], "omic": []}
     loss_parts = []
@@ -63,7 +66,9 @@ def evaluate(opt, eval_step, params, batch_stats, loader, key,
     # pipelined too: plain Loaders get wrapped in a 2-deep PrefetchLoader.
     from ..data.pipeline import Loader as _HostLoader
     from ..data.pipeline import PrefetchLoader as _Prefetch
-    if isinstance(loader, _HostLoader):
+    if jax.process_count() > 1:
+        sharding = None          # host batches; see docstring
+    elif isinstance(loader, _HostLoader):
         loader = _Prefetch(loader, depth=2, device=sharding)
     for batch in loader:
         key, sub = jax.random.split(key)
@@ -187,8 +192,10 @@ def train_teacher(opt, data: Dict, fold: int,
     # optimizer/EMA/banks — a capability the reference lacks, SURVEY §5)
     snap_path = os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_state.snap")
     start_epoch = opt.epoch_count
+    snap_extra = None
     if opt.resume and os.path.exists(snap_path):
-        state, done_epoch = load_train_state(snap_path, state)
+        state, done_epoch, snap_extra = load_train_state(
+            snap_path, state, with_extra=True)
         start_epoch = done_epoch + 1
         log(f"[fold {fold}] resumed from epoch {done_epoch}")
 
@@ -199,6 +206,10 @@ def train_teacher(opt, data: Dict, fold: int,
 
     from .schedules import PlateauTracker
     plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+    if plateau is not None and snap_extra and "plateau" in snap_extra:
+        # --resume: keep the reduced-LR tracker state (a fresh tracker
+        # would write scale=1.0 back after the first post-resume epoch)
+        plateau.load_state_dict(snap_extra["plateau"])
 
     for epoch in range(start_epoch, total_epochs + 1):
         crd_weight = 0.01 if epoch >= 15 else opt.CRD_weight
@@ -245,7 +256,9 @@ def train_teacher(opt, data: Dict, fold: int,
                 state.opt_state, scale))
 
         if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
-            save_train_state(snap_path, state, epoch)
+            save_train_state(snap_path, state, epoch,
+                             extra={"plateau": plateau.state_dict()}
+                             if plateau else None)
 
         if opt.task == "grad":
             test_acc = res.get("acc_fuse", res.get("acc_path",

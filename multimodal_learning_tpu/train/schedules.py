@@ -97,3 +97,14 @@ class PlateauTracker:
                 self.scale *= self.factor
                 self.bad_epochs = 0
         return self.scale
+
+    # snapshotted with the train state so --resume keeps the reduced LR
+    # (a fresh tracker would write scale=1.0 back on the first epoch)
+    def state_dict(self) -> dict:
+        return {"best": self.best, "bad_epochs": self.bad_epochs,
+                "scale": self.scale}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = d["best"]
+        self.bad_epochs = d["bad_epochs"]
+        self.scale = d["scale"]

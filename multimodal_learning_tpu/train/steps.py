@@ -162,16 +162,18 @@ def init_teacher_state(opt, model, tx, rng, n_data: int,
              else sample_batch["x_omic"])
         variables = model.init({"params": k_model, "dropout": k_drop},
                                x, train=True)
-    # --init_type normal/xavier/kaiming/orthogonal re-init with --init_gain
-    # (init_net -> init_weights, utils.py:205-233); then --pretrained_path:
-    # ImageNet (or reference-checkpoint) ResNet18 weights into the path
-    # branch (MICCAI-2022/resnets.py:275-284) — same order as the reference
+    # reference order: pretrained ResNet18 weights load in the constructor
+    # (resnets.py:275-284) and init_net -> init_weights runs AFTER it
+    # (utils.py:263-265), so --init_type normal/xavier/kaiming/orthogonal
+    # deliberately clobbers the pretrained trunk (only max/none keep it) —
+    # pretrained first, re-init second, same end state as the reference
     from ..models.common import apply_init_type
     from ..models.import_torch import apply_pretrained
     model_params, batch_stats = apply_pretrained(
-        opt, dict(apply_init_type(k_reinit, variables["params"],
-                                  opt.init_type, opt.init_gain)),
+        opt, dict(variables["params"]),
         dict(variables.get("batch_stats", {})))
+    model_params = apply_init_type(k_reinit, dict(model_params),
+                                   opt.init_type, opt.init_gain)
     params = {"model": jax.tree_util.tree_map(jnp.asarray, model_params)}
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     banks = None

@@ -57,15 +57,17 @@ def init_student_state(opt, model, tx, rng, n_data: int,
     x = jnp.zeros((1, input_size, input_size, 3))
     variables = model.init({"params": k_model, "dropout": k_drop}, x,
                            train=True)
-    # --init_type re-init (init_weights, utils.py:205-233), then
-    # --pretrained_path: ImageNet ResNet18 trunk into the path student
-    # (reference fine-tunes from torchvision weights, resnets.py:275-284)
+    # reference order: pretrained trunk loads in the constructor
+    # (resnets.py:275-284), init_net -> init_weights runs AFTER
+    # (utils.py:263-265) and clobbers it for init_type not in {max, none} —
+    # pretrained first, re-init second, same end state as the reference
     from ..models.common import apply_init_type
     from ..models.import_torch import apply_pretrained
     model_params, batch_stats = apply_pretrained(
-        opt, dict(apply_init_type(k_reinit, variables["params"],
-                                  opt.init_type, opt.init_gain)),
+        opt, dict(variables["params"]),
         dict(variables.get("batch_stats", {})))
+    model_params = apply_init_type(k_reinit, dict(model_params),
+                                   opt.init_type, opt.init_gain)
     params = {"model": jax.tree_util.tree_map(jnp.asarray, model_params)}
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     # two CRD criteria: fuse-teacher bank + EMA-teacher bank (:202-208);
@@ -152,6 +154,17 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
             "--sample_KD is the per-sample AEKD_v2 gate "
             "(train_test_path_multi_distill.py:74-141): it needs "
             "--assign_weights --student_customize and --distill crd|kd")
+    if (opt.assign_weights and opt.student_customize and not opt.CE_grads
+            and n_kd < 2):
+        # with CE_grads off the reference skips the CE backward and its
+        # gate silently anchors on the LAST KD gradient
+        # (train_test_path_multi_distill.py:95-121) — a quirk we preserve
+        # for >=2 KD losses; with a single KD loss there is no anchor left
+        # and the reference's tensor algebra breaks there too
+        raise NotImplementedError(
+            "--student_customize without --CE_grads needs at least two KD "
+            "losses (the reference gates on the last KD gradient when the "
+            "CE backward is skipped)")
 
     def step(state: TrainState, batch, key, epoch_frac):
         k_aug, k_drop, k_drop_ema, k_drop_t, k_sel1, k_sel2 = \
@@ -313,6 +326,9 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                 if opt.CE_grads:
                     grads.append(jax.lax.stop_gradient(
                         jax.grad(ce_fn)(path_feat)))
+                # grads[-1] is the gate anchor: the CE gradient when
+                # --CE_grads, else the last KD gradient (reference quirk,
+                # ...distill.py:95-121; guarded n_kd >= 2 at build time)
                 if opt.student_customize:
                     if opt.sample_KD:
                         # per-sample AEKD_v2 (:103-112, :131-136): per-sample
@@ -543,8 +559,10 @@ def train_student(opt, data: Dict, fold: int,
     # train state incl. optimizer/EMA/CRD banks
     snap_path = os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_state.snap")
     start_epoch = opt.epoch_count
+    snap_extra = None
     if opt.resume and os.path.exists(snap_path):
-        state, done_epoch = load_train_state(snap_path, state)
+        state, done_epoch, snap_extra = load_train_state(
+            snap_path, state, with_extra=True)
         start_epoch = done_epoch + 1
         log(f"[fold {fold}] resumed from epoch {done_epoch}")
 
@@ -566,6 +584,10 @@ def train_student(opt, data: Dict, fold: int,
 
     from .schedules import PlateauTracker
     plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+    if plateau is not None and snap_extra and "plateau" in snap_extra:
+        # --resume: keep the reduced-LR tracker state (a fresh tracker
+        # would write scale=1.0 back after the first post-resume epoch)
+        plateau.load_state_dict(snap_extra["plateau"])
 
     for epoch in range(start_epoch, total_epochs + 1):
         t0 = time.time()
@@ -598,7 +620,9 @@ def train_student(opt, data: Dict, fold: int,
             state = state.replace(opt_state=set_plateau_scale(
                 state.opt_state, plateau.step(res["loss"])))
         if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
-            save_train_state(snap_path, state, epoch)
+            save_train_state(snap_path, state, epoch,
+                             extra={"plateau": plateau.state_dict()}
+                             if plateau else None)
 
         if epoch > opt.niter_decay - 3:  # :368-369
             avg_all_metrics += path_metrics

@@ -239,8 +239,10 @@ def train_clat_student(opt, data: Dict, fold: int,
     # mid-fold resume (same machinery as the teacher/student drivers)
     snap_path = os.path.join(ckpt_dir, f"{opt.model_name}_{fold}_state.snap")
     start_epoch = opt.epoch_count
+    snap_extra = None
     if opt.resume and os.path.exists(snap_path):
-        state, done_epoch = load_train_state(snap_path, state)
+        state, done_epoch, snap_extra = load_train_state(
+            snap_path, state, with_extra=True)
         start_epoch = done_epoch + 1
         log(f"[fold {fold}] resumed from epoch {done_epoch}")
 
@@ -260,6 +262,10 @@ def train_clat_student(opt, data: Dict, fold: int,
 
     from .schedules import PlateauTracker
     plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+    if plateau is not None and snap_extra and "plateau" in snap_extra:
+        # --resume: keep the reduced-LR tracker state (a fresh tracker
+        # would write scale=1.0 back after the first post-resume epoch)
+        plateau.load_state_dict(snap_extra["plateau"])
 
     for epoch in range(start_epoch, total_epochs + 1):
         t0 = time.time()
@@ -294,7 +300,9 @@ def train_clat_student(opt, data: Dict, fold: int,
             state = state.replace(opt_state=set_plateau_scale(
                 state.opt_state, plateau.step(res["loss"])))
         if opt.snapshot_every > 0 and epoch % opt.snapshot_every == 0:
-            save_train_state(snap_path, state, epoch)
+            save_train_state(snap_path, state, epoch,
+                             extra={"plateau": plateau.state_dict()}
+                             if plateau else None)
 
         if opt.verbose:
             log(f"[fold {fold}] epoch {epoch}/{total_epochs} "

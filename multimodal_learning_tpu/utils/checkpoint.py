@@ -45,24 +45,31 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(fh)
 
 
-def save_train_state(path: str, state: Any, epoch: int) -> None:
+def save_train_state(path: str, state: Any, epoch: int,
+                     extra: Any = None) -> None:
     """Resumable mid-fold snapshot: the FULL train state (params, BN stats,
-    optimizer moments, EMA, CRD banks) via flax.serialization.  The
+    optimizer moments, EMA, CRD banks) via flax.serialization, plus an
+    optional host-side ``extra`` dict (e.g. the plateau-LR tracker).  The
     reference cannot resume a fold (SURVEY §5); this can."""
     from flax import serialization
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     blob = serialization.to_bytes(state)
     with open(path, "wb") as fh:
-        pickle.dump({"epoch": epoch, "state_bytes": blob}, fh)
+        pickle.dump({"epoch": epoch, "state_bytes": blob,
+                     "extra": extra}, fh)
 
 
-def load_train_state(path: str, template: Any):
+def load_train_state(path: str, template: Any, with_extra: bool = False):
     """Restore a snapshot into a freshly-initialised state (structure is
-    validated against the template).  Returns (state, epoch)."""
+    validated against the template).  Returns (state, epoch) or, with
+    ``with_extra``, (state, epoch, extra) — extra is None for pre-r3
+    snapshots."""
     from flax import serialization
     with open(path, "rb") as fh:
         payload = pickle.load(fh)
     state = serialization.from_bytes(template, payload["state_bytes"])
+    if with_extra:
+        return state, payload["epoch"], payload.get("extra")
     return state, payload["epoch"]
 
 

@@ -94,3 +94,50 @@ def test_clat_mid_fold_resume(tmp_path):
                                    log=logs.append)
     assert any("resumed from epoch 1" in str(m) for m in logs)
     assert np.isfinite(res["loss"])
+
+
+def test_plateau_scale_survives_resume(tmp_path):
+    """--lr_policy plateau + --resume: the reduced LR scale is restored
+    from the snapshot's extra payload instead of resetting to 1.0 (r3
+    review finding: a fresh PlateauTracker wrote 1.0 back)."""
+    from multimodal_learning_tpu.train.optim import plateau_scale_of
+    from multimodal_learning_tpu.train.schedules import PlateauTracker
+    from multimodal_learning_tpu.utils.checkpoint import (load_train_state,
+                                                          save_train_state)
+
+    # tracker round-trip through the snapshot extra
+    tr = PlateauTracker(patience=0)
+    tr.step(1.0)
+    tr.step(2.0)            # worse -> scale drops to 0.2
+    assert tr.scale == 0.2
+    tr2 = PlateauTracker()
+    tr2.load_state_dict(tr.state_dict())
+    assert tr2.scale == 0.2 and tr2.best == 1.0
+
+    # driver-level: train 2 epochs with plateau, snapshot carries the
+    # tracker; resumed run must log the restored scale in its opt_state
+    data = make_synthetic_splits(n_train=24, n_test=8, roi_size=32, seed=12)
+    common = dict(mode="omic", task="grad", model_name="plt", omic_dim=8,
+                  input_size_path=32, batch_size=8, lr=1e-3, verbose=0,
+                  checkpoints_dir=str(tmp_path), host_workers=2,
+                  reg_type="none", CRD_distill=0, pred_distill=0,
+                  snapshot_every=1, lr_policy="plateau")
+    opt = Options(niter=0, niter_decay=2, **common)
+    train_teacher(opt, data, fold=1)
+    snap = os.path.join(str(tmp_path), "grad_15", "plt", "plt_1_state.snap")
+    import pickle
+    with open(snap, "rb") as fh:
+        payload = pickle.load(fh)
+    assert payload["extra"] is not None and "plateau" in payload["extra"]
+    # force a reduced scale into the saved tracker and resume: the run
+    # must come back with the tracker state, not a fresh one
+    payload["extra"]["plateau"]["scale"] = 0.04
+    payload["extra"]["plateau"]["best"] = 0.0   # nothing beats it
+    with open(snap, "wb") as fh:
+        pickle.dump(payload, fh)
+    opt = Options(niter=0, niter_decay=4, resume=True, **common)
+    train_teacher(opt, data, fold=1)
+    with open(snap, "rb") as fh:
+        after = pickle.load(fh)
+    # tracker kept the injected reduction (0.04 * 0.2^k), never reset to 1.0
+    assert after["extra"]["plateau"]["scale"] <= 0.04
