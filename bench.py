@@ -205,13 +205,12 @@ def _chain_pps(step_fn, state, batches, extra, n_steps, reps=3):
     return BATCH * n_steps / best
 
 
-def bench_families(n_steps=50) -> dict:
-    # >=50 steps best-of-3 per family: against the tunnel's documented
-    # ~1.6x contention swings, 30-step best-of-2 could hide sub-40%
-    # regressions (VERDICT r2 #8)
-    """Throughput of the other jitted step families at paper dims, so kernel
-    regressions in the complex t-SVT SVD, the saliency segment_sum, and the
-    CRD-v3 bank select/scatter + AEKD vjp pulls show up in BENCH_r*.json."""
+def build_family(which: str):
+    """Build one jitted step family at paper dims: returns
+    ``(step_fn, state, stacked_batches_np, extra)`` with ``step_fn(state,
+    batch, key, extra)``.  Shared by :func:`bench_families` (throughput) and
+    ``tools/profile_hlo.py`` (per-op FLOP accounting), so both measure the
+    exact same compiled step."""
     import jax
     import jax.numpy as jnp
 
@@ -232,71 +231,95 @@ def bench_families(n_steps=50) -> dict:
     nprng = np.random.default_rng(0)
     sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
               "x_omic": jnp.zeros((1, 80))}
-    out = {}
 
-    # M3LR t-SVD teacher (MIA22 recipe: n_views=4, Lambda_global=0.1)
-    opt = Options(CRD_distill=0, tSVD_loss=True, tSVD_mode="pathomic",
-                  n_views=4, Lambda_global=0.1, **base)
-    model = define_model(opt)
-    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
-    state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
-    step = build_teacher_train_step(opt, model, tx)
-    b = _stack_batches(nprng, views=2, sample_cols=0)
-    b["tsvd_update"] = np.ones(N_DISTINCT, bool)
-    out["tsvd_pps"] = _chain_pps(step, state, jax.device_put(b),
-                                 jnp.asarray(0.0), n_steps)
+    if which == "tsvd":
+        # M3LR t-SVD teacher (MIA22 recipe: n_views=4, Lambda_global=0.1)
+        opt = Options(CRD_distill=0, tSVD_loss=True, tSVD_mode="pathomic",
+                      n_views=4, Lambda_global=0.1, **base)
+        model = define_model(opt)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+        state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+        step = build_teacher_train_step(opt, model, tx)
+        b = _stack_batches(nprng, views=2, sample_cols=0)
+        b["tsvd_update"] = np.ones(N_DISTINCT, bool)
+        return step, state, b, jnp.asarray(0.0)
 
-    # S1 masking teacher (saliency grad + segment_sum + 2 masked distills)
-    opt = Options(CRD_distill=1, pos_mode="exact", nce_p=1, nce_k=512,
-                  masking=1, num_superpixels=100, Path_K=1, Omic_K=5, **base)
-    model = define_model(opt)
-    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
-    state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
-    step = build_teacher_train_step(opt, model, tx, masking=True)
-    b = _stack_batches(nprng, views=4, with_mask=True)
-    out["masked_pps"] = _chain_pps(step, state, jax.device_put(b),
-                                   jnp.asarray(0.0), n_steps)
+    if which == "masked":
+        # S1 masking teacher (saliency grad + segment_sum + 2 masked distills)
+        opt = Options(CRD_distill=1, pos_mode="exact", nce_p=1, nce_k=512,
+                      masking=1, num_superpixels=100, Path_K=1, Omic_K=5,
+                      **base)
+        model = define_model(opt)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+        state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
+        step = build_teacher_train_step(opt, model, tx, masking=True)
+        b = _stack_batches(nprng, views=4, with_mask=True)
+        return step, state, b, jnp.asarray(0.0)
 
-    # MICCAI student (CRD v3 two banks + AEKD vjp pulls + frozen teacher)
-    opt = Options(CRD_distill=1, distill="crd", num_teachers=2,
-                  assign_weights=True, CE_grads=True, select_pos_mode="hard",
-                  pos_mode="multi_pos", nce_p=4, nce_p2=2, nce_k=512,
-                  nce_k2=256, alpha=1.0, beta=0.02, **base)
-    teacher_model = define_model(opt)
+    # the two student families share a frozen two-branch teacher
+    topt = Options(CRD_distill=1, num_teachers=2, **base)
+    teacher_model = define_model(topt)
     tvars = teacher_model.init({"params": rng, "dropout": rng},
                                x_path=sample["x_path"],
                                x_omic=sample["x_omic"], train=False)
     teacher_vars = {"params": tvars["params"],
                     "batch_stats": tvars.get("batch_stats", {})}
-    model = define_model(opt, path_only=True)
-    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
-    state = init_student_state(opt, model, tx, rng, N_DATA, input_size=SIZE)
-    step = build_student_train_step(opt, model, teacher_model, teacher_vars,
-                                    tx)
-    b = _stack_batches(nprng, views=2, sample_cols=opt.nce_p + opt.nce_k)
-    out["student_pps"] = _chain_pps(step, state, jax.device_put(b),
-                                    jnp.asarray(0.5), n_steps)
 
-    # CLAT stage-2 student (CRD v10 kNN positives + GK_refine_thresh,
-    # train_20230805.sh recipe shape at bank size N_DATA)
-    from multimodal_learning_tpu.train.student_clat import \
-        build_clat_student_step
-    opt = Options(CRD_distill=1, distill="crd", num_teachers=2,
-                  assign_weights=True, loss_weighting="GK_refine",
-                  use_grads_thresh=True, grads_thresh=0.25, nce_p=6,
-                  nce_k=512, pos_extra="neighbors", pos_mode="multi_pos",
-                  max_discrep=1.0, **base)
-    labels = nprng.integers(0, 3, N_DATA)
-    class_mask = np.zeros((3, N_DATA), np.float32)
-    class_mask[labels, np.arange(N_DATA)] = 1.0
-    model = define_model(opt, path_only=True)
-    tx = make_optimizer(opt, make_lr_schedule(opt, 50))
-    state = init_student_state(opt, model, tx, rng, N_DATA, input_size=SIZE)
-    step = build_clat_student_step(opt, model, teacher_model, teacher_vars,
-                                   tx, class_mask)
-    b = _stack_batches(nprng, views=2, sample_cols=1 + opt.nce_k)
-    out["clat_pps"] = _chain_pps(step, state, jax.device_put(b),
-                                 jnp.asarray(True), n_steps)
+    if which == "student":
+        # MICCAI student (CRD v3 two banks + AEKD vjp pulls + frozen teacher)
+        opt = Options(CRD_distill=1, distill="crd", num_teachers=2,
+                      assign_weights=True, CE_grads=True,
+                      select_pos_mode="hard", pos_mode="multi_pos", nce_p=4,
+                      nce_p2=2, nce_k=512, nce_k2=256, alpha=1.0, beta=0.02,
+                      **base)
+        model = define_model(opt, path_only=True)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+        state = init_student_state(opt, model, tx, rng, N_DATA,
+                                   input_size=SIZE)
+        step = build_student_train_step(opt, model, teacher_model,
+                                        teacher_vars, tx)
+        b = _stack_batches(nprng, views=2, sample_cols=opt.nce_p + opt.nce_k)
+        return step, state, b, jnp.asarray(0.5)
+
+    if which == "clat":
+        # CLAT stage-2 student (CRD v10 kNN positives + GK_refine_thresh,
+        # train_20230805.sh recipe shape at bank size N_DATA)
+        from multimodal_learning_tpu.train.student_clat import \
+            build_clat_student_step
+        opt = Options(CRD_distill=1, distill="crd", num_teachers=2,
+                      assign_weights=True, loss_weighting="GK_refine",
+                      use_grads_thresh=True, grads_thresh=0.25, nce_p=6,
+                      nce_k=512, pos_extra="neighbors", pos_mode="multi_pos",
+                      max_discrep=1.0, **base)
+        labels = nprng.integers(0, 3, N_DATA)
+        class_mask = np.zeros((3, N_DATA), np.float32)
+        class_mask[labels, np.arange(N_DATA)] = 1.0
+        model = define_model(opt, path_only=True)
+        tx = make_optimizer(opt, make_lr_schedule(opt, 50))
+        state = init_student_state(opt, model, tx, rng, N_DATA,
+                                   input_size=SIZE)
+        step = build_clat_student_step(opt, model, teacher_model,
+                                       teacher_vars, tx, class_mask)
+        b = _stack_batches(nprng, views=2, sample_cols=1 + opt.nce_k)
+        return step, state, b, jnp.asarray(True)
+
+    raise ValueError(f"unknown family {which!r}")
+
+
+def bench_families(n_steps=50) -> dict:
+    # >=50 steps best-of-3 per family: against the tunnel's documented
+    # ~1.6x contention swings, 30-step best-of-2 could hide sub-40%
+    # regressions (VERDICT r2 #8)
+    """Throughput of the other jitted step families at paper dims, so kernel
+    regressions in the complex t-SVT SVD, the saliency segment_sum, and the
+    CRD-v3 bank select/scatter + AEKD vjp pulls show up in BENCH_r*.json."""
+    import jax
+
+    out = {}
+    for which in ("tsvd", "masked", "student", "clat"):
+        step, state, b, extra = build_family(which)
+        out[f"{which}_pps"] = _chain_pps(step, state, jax.device_put(b),
+                                         extra, n_steps)
     return out
 
 

@@ -80,18 +80,27 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     if n > 1:
         def contribute(x):
             x = np.asarray(x)
-            lead = x.shape[0]
-            if lead % n:
-                raise ValueError(
-                    f"global batch of {lead} not divisible by "
-                    f"{n} processes")
-            per = lead // n
             return jax.make_array_from_process_local_data(
-                sharding, x[rank * per:(rank + 1) * per],
+                sharding, process_slice(x, n, rank),
                 global_shape=x.shape)
         return jax.tree_util.tree_map(contribute, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def process_slice(x: np.ndarray, n_processes: int, rank: int) -> np.ndarray:
+    """This process's contiguous contribution to a host-identical global
+    batch: rows ``[rank*per, (rank+1)*per)``.  Concatenating the slices of
+    ranks 0..n-1 reproduces the global batch exactly (tested in
+    ``tests/test_sharding.py``); anything else would stitch duplicate
+    copies into the assembled global array."""
+    lead = x.shape[0]
+    if lead % n_processes:
+        raise ValueError(
+            f"global batch of {lead} not divisible by "
+            f"{n_processes} processes")
+    per = lead // n_processes
+    return x[rank * per:(rank + 1) * per]
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

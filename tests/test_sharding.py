@@ -244,3 +244,20 @@ def test_sharded_step_family_matches_single_device(family):
         for k, v in batch_host.items()}
     state8, m8 = step(state, batch_dev, key, extra)
     assert loss1 == pytest.approx(float(m8["loss"]), rel=2e-4), family
+
+
+def test_process_slices_reassemble_global_batch():
+    """Multi-host batch assembly: each process contributes the
+    ``process_index`` slice of the host-identical global batch; the slices
+    of ranks 0..n-1 must concatenate back to the global batch exactly
+    (anything else stitches duplicate copies — the bug fixed in r3)."""
+    from multimodal_learning_tpu.parallel.mesh import process_slice
+
+    x = np.arange(24 * 5, dtype=np.float32).reshape(24, 5)
+    for n in (1, 2, 4, 8):
+        parts = [process_slice(x, n, r) for r in range(n)]
+        assert all(p.shape == (24 // n, 5) for p in parts)
+        np.testing.assert_array_equal(np.concatenate(parts), x)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        process_slice(x, 5, 0)

@@ -8,7 +8,8 @@ of the step — plus standalone timing of each distinct conv shape measured
 as its own scan chain on the device.
 
 Usage:
-    python tools/profile_hlo.py [teacher|masked] [--time] [n_steps]
+    python tools/profile_hlo.py [teacher|masked|tsvd|student|clat] \
+        [--time] [--json PATH]
 
 Output: a table on stdout and (with --json PATH) a JSON artifact.
 """
@@ -180,8 +181,19 @@ def group_rows(rows, by_phase=False):
 
 
 def build_step(which: str):
+    """(step_fn, state, one_batch, extra) for any step family.
+
+    ``teacher`` is the flagship bench config (built here); the other four
+    families come from :func:`bench.build_family`, so the profiled step is
+    bit-identical to the one ``bench_families`` times."""
     import jax
     import jax.numpy as jnp
+
+    if which != "teacher":
+        from bench import build_family
+        step, state, b, extra = build_family(which)
+        one = jax.tree_util.tree_map(lambda x: x[0], b)
+        return step, state, one, extra
 
     from multimodal_learning_tpu.config import Options
     from multimodal_learning_tpu.models.factory import define_model
@@ -190,31 +202,23 @@ def build_step(which: str):
     from multimodal_learning_tpu.train.steps import (
         build_teacher_train_step, init_teacher_state)
 
-    base = dict(mode="pathomic", task="grad", path_dim=128, omic_dim=128,
-                mmhid=128, feat_dim=128, input_size_path=SIZE,
-                batch_size=BATCH, pred_distill=1, n_data=N_DATA,
-                reg_type="omic", niter_decay=30, compute_dtype=DTYPE,
-                num_teachers=2)
-    if which == "masked":
-        opt = Options(CRD_distill=1, pos_mode="exact", nce_p=1, nce_k=512,
-                      masking=1, num_superpixels=100, Path_K=1, Omic_K=5,
-                      **base)
-    else:
-        opt = Options(CRD_distill=1, pos_mode="exact", nce_p=1, nce_k=512,
-                      **base)
+    opt = Options(mode="pathomic", task="grad", path_dim=128, omic_dim=128,
+                  mmhid=128, feat_dim=128, input_size_path=SIZE,
+                  batch_size=BATCH, pred_distill=1, n_data=N_DATA,
+                  reg_type="omic", niter_decay=30, compute_dtype=DTYPE,
+                  num_teachers=2, CRD_distill=1, pos_mode="exact", nce_p=1,
+                  nce_k=512)
     model = define_model(opt)
     tx = make_optimizer(opt, make_lr_schedule(opt, 50))
     rng = jax.random.PRNGKey(0)
     sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
               "x_omic": jnp.zeros((1, 80))}
     state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
-    step = build_teacher_train_step(opt, model, tx,
-                                    masking=(which == "masked"))
+    step = build_teacher_train_step(opt, model, tx)
     nprng = np.random.default_rng(0)
-    b = _stack_batches(nprng, views=4 if which == "masked" else 2,
-                       with_mask=(which == "masked"))
+    b = _stack_batches(nprng, views=2)
     one = {k: v[0] for k, v in b.items()}
-    return step, state, one
+    return step, state, one, jnp.asarray(0.1)
 
 
 def time_conv_shapes(grouped, n_steps=400, top=12):
@@ -278,11 +282,10 @@ def main():
     if "--json" in sys.argv:
         jpath = sys.argv[sys.argv.index("--json") + 1]
 
-    step, state, batch = build_step(which)
+    step, state, batch, extra = build_step(which)
     import jax
-    import jax.numpy as jnp
     compiled = step.lower(state, batch, jax.random.PRNGKey(1),
-                          jnp.asarray(0.1)).compile()
+                          extra).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
