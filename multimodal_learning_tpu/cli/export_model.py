@@ -1,0 +1,78 @@
+"""Export trained fold checkpoints as serving artifacts (StableHLO).
+
+Beyond-parity driver (the reference deploys by re-running its torch test
+scripts in-process, ``MICCAI-2022/test_cv_MT.py``): for every fold
+checkpoint of ``--model_name`` this writes ``<model>_<k>.stablehlo`` (the
+eval forward with weights baked in, lowered for cpu+tpu) plus a ``.json``
+manifest with the calling convention.  Reload with
+``multimodal_learning_tpu.serve.load_exported`` — or any external StableHLO
+consumer.
+
+    python -m multimodal_learning_tpu.cli.export_model \
+        --model_name stage1_pathomic_teacher --mode pathomic --task grad \
+        --export_batch 16
+"""
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+from ._platform import apply_platform_override
+
+apply_platform_override()
+
+from ..config import parse_args
+from ..models.factory import define_model
+from ..serve.export import export_infer, manifest, write_artifact
+from ..utils.checkpoint import load_checkpoint
+
+
+def export_fold(opt, ckpt_path: str, out_path: str) -> str:
+    ckpt = load_checkpoint(ckpt_path)
+    model = define_model(opt)
+    params = ckpt["model_state_dict"]
+    stats = ckpt.get("batch_stats", {})
+    bs = opt.export_batch or opt.batch_size
+    blob = export_infer(opt, model, params, stats, bs)
+    # probe the output names for the manifest from the branch keys the
+    # model actually produces (cheap: abstract eval only)
+    import jax
+    import jax.numpy as jnp
+    from ..serve.export import make_infer_fn
+    s = opt.input_size_path
+    outs = jax.eval_shape(
+        make_infer_fn(opt, model, params, stats),
+        jax.ShapeDtypeStruct((bs, s, s, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((bs, opt.input_size_omic), jnp.float32))
+    write_artifact(out_path, blob, manifest(opt, bs, outs.keys()))
+    return out_path
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name,
+                            opt.model_name)
+    # prefer each fold's rolling _best checkpoint, like the test drivers
+    paths = {}
+    for p in sorted(glob.glob(os.path.join(
+            ckpt_dir, f"{opt.model_name}_*.pt"))):
+        stem = os.path.basename(p)[len(opt.model_name) + 1:-3]
+        if stem.endswith("_best"):
+            paths[stem[:-5]] = p
+        elif stem.isdigit():
+            paths.setdefault(stem, p)
+    if not paths:
+        raise FileNotFoundError(
+            f"no fold checkpoints under {ckpt_dir!r} — train with "
+            f"cli.train_cv_MT (or friends) first")
+    written = []
+    for k, p in sorted(paths.items()):
+        out = os.path.join(ckpt_dir, f"{opt.model_name}_{k}.stablehlo")
+        written.append(export_fold(opt, p, out))
+        print("exported", written[-1])
+    return written
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -247,6 +247,9 @@ class Options:
     #                                        epoch snapshot (the reference has
     #                                        no mid-fold resume — SURVEY §5)
     snapshot_every: int = 5                # epochs between resumable snapshots
+    export_batch: int = 0                  # cli.export_model serving batch
+    #                                        size (0 = --batch_size); the
+    #                                        StableHLO artifact is fixed-shape
     test_augment: bool = False             # the MICCAI/MIA22 reference applies
     #                                        the full random augmentation at
     #                                        test time too

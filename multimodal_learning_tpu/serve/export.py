@@ -1,0 +1,108 @@
+"""Ahead-of-time export of the eval forward for serving (StableHLO).
+
+Beyond-parity capability: the reference has no deployment story —
+"inference" means re-running ``test_cv_MT.py``/``test_cv_path.py`` with the
+full torch training stack in-process (``MICCAI-2022/test_cv_MT.py:40-70``).
+Here the eval forward (uint8 patches + omic vector -> branch hazards and
+log-prob predictions, weights baked in as constants) is serialized with
+``jax.export`` as a self-contained StableHLO artifact:
+
+- hardware-portable: lowered for both ``cpu`` and ``tpu`` in one artifact;
+- reloadable without the training stack, the checkpoint pipeline, or the
+  original Python model code (`load_exported` needs only jax);
+- consumable by external StableHLO toolchains (IREE, tf.saved_model, ...).
+
+The exported signature is fixed-shape ``(x_path: u8[B,S,S,3],
+x_omic: f32[B,D]) -> {branch: f32[B,...]}`` — static shapes are the
+TPU-friendly choice (no dynamic-shape recompiles at serve time); export one
+artifact per serving batch size.  Unimodal configs still take both inputs
+(the unused one is traced away) so every artifact has the same calling
+convention.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..train.steps import _apply, adapt_output
+
+_BRANCHES = ("hazard_fuse", "hazard_path", "hazard_omic",
+             "pred_fuse", "pred_path", "pred_omic")
+
+
+def make_infer_fn(opt, model, params, batch_stats) -> Callable:
+    """Pure serving forward with weights closed over (they become artifact
+    constants under export).  Input normalisation matches
+    ``train/steps.py:build_eval_step`` exactly (u8 -> [-1, 1] in the
+    compute dtype); outputs are the non-None branches as f32."""
+    dt = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+
+    def infer(x_path, x_omic):
+        x = None
+        if opt.mode in ("path", "pathomic"):
+            x = (x_path.astype(dt) / jnp.asarray(127.5, dt)
+                 - jnp.asarray(1.0, dt))
+        batch = {"omic": x_omic}
+        if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
+            mm_logit = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, x_omic, train=False, infer=True)
+            return {"pred_fuse": jax.nn.log_softmax(mm_logit, axis=1)
+                    .astype(jnp.float32)}
+        raw = _apply(opt, model, params, batch_stats, batch, x,
+                     train=False, rng=None, mutable=False)
+        out = adapt_output(opt, raw)
+        return {k: getattr(out, k).astype(jnp.float32)
+                for k in _BRANCHES if getattr(out, k) is not None}
+
+    return infer
+
+
+def export_infer(opt, model, params, batch_stats,
+                 batch_size: int) -> bytes:
+    """Serialize the eval forward at ``batch_size`` as StableHLO bytes."""
+    infer = make_infer_fn(opt, model, params, batch_stats)
+    s = opt.input_size_path
+    x_path = jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.uint8)
+    x_omic = jax.ShapeDtypeStruct((batch_size, opt.input_size_omic),
+                                  jnp.float32)
+    exported = jax.export.export(
+        jax.jit(infer), platforms=("cpu", "tpu"))(x_path, x_omic)
+    return exported.serialize()
+
+
+def load_exported(data: bytes) -> Callable:
+    """Rehydrate an artifact into a jitted callable — needs only jax, not
+    this package's model code."""
+    exported = jax.export.deserialize(bytearray(data))
+    return jax.jit(exported.call)
+
+
+def manifest(opt, batch_size: int, outputs) -> Dict[str, Any]:
+    """Sidecar JSON: calling convention + the config that produced it."""
+    return {
+        "format": "stablehlo/jax.export",
+        "platforms": ["cpu", "tpu"],
+        "inputs": {
+            "x_path": f"uint8[{batch_size},{opt.input_size_path},"
+                      f"{opt.input_size_path},3]",
+            "x_omic": f"float32[{batch_size},{opt.input_size_omic}]",
+        },
+        "outputs": sorted(outputs),
+        "task": opt.task,
+        "mode": opt.mode,
+        "opt": dataclasses.asdict(opt),
+    }
+
+
+def write_artifact(path: str, blob: bytes, man: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    with open(path + ".json", "w") as fh:
+        json.dump(man, fh, indent=1, default=str)
