@@ -205,6 +205,9 @@ def _chain_pps(step_fn, state, batches, extra, n_steps, reps=3):
     return BATCH * n_steps / best
 
 
+_TEACHER_MEMO: dict = {}
+
+
 def build_family(which: str):
     """Build one jitted step family at paper dims: returns
     ``(step_fn, state, stacked_batches_np, extra)`` with ``step_fn(state,
@@ -256,14 +259,19 @@ def build_family(which: str):
         b = _stack_batches(nprng, views=4, with_mask=True)
         return step, state, b, jnp.asarray(0.0)
 
-    # the two student families share a frozen two-branch teacher
-    topt = Options(CRD_distill=1, num_teachers=2, **base)
-    teacher_model = define_model(topt)
-    tvars = teacher_model.init({"params": rng, "dropout": rng},
-                               x_path=sample["x_path"],
-                               x_omic=sample["x_omic"], train=False)
-    teacher_vars = {"params": tvars["params"],
-                    "batch_stats": tvars.get("batch_stats", {})}
+    # the two student families share a frozen two-branch teacher; its init
+    # is a full pathomic forward at paper dims, so memoize across calls
+    memo_key = (SIZE, BATCH, N_DATA, DTYPE)
+    if memo_key not in _TEACHER_MEMO:
+        topt = Options(CRD_distill=1, num_teachers=2, **base)
+        teacher_model = define_model(topt)
+        tvars = teacher_model.init({"params": rng, "dropout": rng},
+                                   x_path=sample["x_path"],
+                                   x_omic=sample["x_omic"], train=False)
+        _TEACHER_MEMO[memo_key] = (teacher_model, {
+            "params": tvars["params"],
+            "batch_stats": tvars.get("batch_stats", {})})
+    teacher_model, teacher_vars = _TEACHER_MEMO[memo_key]
 
     if which == "student":
         # MICCAI student (CRD v3 two banks + AEKD vjp pulls + frozen teacher)

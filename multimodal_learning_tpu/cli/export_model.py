@@ -30,22 +30,24 @@ from ..utils.checkpoint import load_checkpoint
 
 def export_fold(opt, ckpt_path: str, out_path: str) -> str:
     ckpt = load_checkpoint(ckpt_path)
+    # the checkpoint's saved opt is the source of truth for the forward:
+    # CLI flags with shape-invariant arch effects (act_type, skip, gates,
+    # compute_dtype, ...) would otherwise export a silently different
+    # function from the trained one.  CLI keeps only the export knobs.
+    saved = ckpt.get("opt")
+    if isinstance(saved, dict):
+        import dataclasses
+        cli_export_batch = opt.export_batch
+        fields = {f.name for f in dataclasses.fields(type(opt))}
+        opt = type(opt)(**{k: v for k, v in saved.items() if k in fields})
+        if cli_export_batch:
+            opt = opt.replace(export_batch=cli_export_batch)
     model = define_model(opt)
     params = ckpt["model_state_dict"]
     stats = ckpt.get("batch_stats", {})
     bs = opt.export_batch or opt.batch_size
-    blob = export_infer(opt, model, params, stats, bs)
-    # probe the output names for the manifest from the branch keys the
-    # model actually produces (cheap: abstract eval only)
-    import jax
-    import jax.numpy as jnp
-    from ..serve.export import make_infer_fn
-    s = opt.input_size_path
-    outs = jax.eval_shape(
-        make_infer_fn(opt, model, params, stats),
-        jax.ShapeDtypeStruct((bs, s, s, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((bs, opt.input_size_omic), jnp.float32))
-    write_artifact(out_path, blob, manifest(opt, bs, outs.keys()))
+    blob, outputs = export_infer(opt, model, params, stats, bs)
+    write_artifact(out_path, blob, manifest(opt, bs, outputs))
     return out_path
 
 

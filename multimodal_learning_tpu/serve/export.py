@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict
 import jax
 import jax.numpy as jnp
 
+from ..models.factory import _dtype
 from ..train.steps import _apply, adapt_output
 
 _BRANCHES = ("hazard_fuse", "hazard_path", "hazard_omic",
@@ -40,7 +41,17 @@ def make_infer_fn(opt, model, params, batch_stats) -> Callable:
     constants under export).  Input normalisation matches
     ``train/steps.py:build_eval_step`` exactly (u8 -> [-1, 1] in the
     compute dtype); outputs are the non-None branches as f32."""
-    dt = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+    if getattr(opt, "test_augment", False):
+        # build_eval_step applies the RANDOM train augmentation at test time
+        # under this flag (MICCAI quirk); a deterministic serving artifact
+        # cannot reproduce it, so refuse rather than silently diverge from
+        # the numbers test_cv_* reported.
+        raise ValueError(
+            "--test_augment configs evaluate through random augmentation "
+            "(data_loaders_MT.py:112-119 parity); the exported artifact is "
+            "deterministic and would not match the reported eval numbers. "
+            "Export with test_augment=False.")
+    dt = _dtype(opt)
 
     def infer(x_path, x_omic):
         x = None
@@ -63,9 +74,12 @@ def make_infer_fn(opt, model, params, batch_stats) -> Callable:
     return infer
 
 
-def export_infer(opt, model, params, batch_stats,
-                 batch_size: int) -> bytes:
-    """Serialize the eval forward at ``batch_size`` as StableHLO bytes."""
+def export_infer(opt, model, params, batch_stats, batch_size: int):
+    """Serialize the eval forward at ``batch_size``.
+
+    Returns ``(blob, output_names)`` — the StableHLO bytes and the output
+    dict's keys, read from the export's own pytree metadata (no second
+    trace, so the manifest can never disagree with the artifact)."""
     infer = make_infer_fn(opt, model, params, batch_stats)
     s = opt.input_size_path
     x_path = jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.uint8)
@@ -73,7 +87,9 @@ def export_infer(opt, model, params, batch_stats,
                                   jnp.float32)
     exported = jax.export.export(
         jax.jit(infer), platforms=("cpu", "tpu"))(x_path, x_omic)
-    return exported.serialize()
+    outs = jax.tree_util.tree_unflatten(exported.out_tree,
+                                        list(exported.out_avals))
+    return exported.serialize(), sorted(outs)
 
 
 def load_exported(data: bytes) -> Callable:

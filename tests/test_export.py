@@ -49,7 +49,7 @@ def test_export_round_trip_matches_direct_forward():
 
     direct = jax.jit(make_infer_fn(opt, model, params, stats))(
         x_path, x_omic)
-    blob = export_infer(opt, model, params, stats, BATCH)
+    blob, outputs = export_infer(opt, model, params, stats, BATCH)
     served = load_exported(blob)(x_path, x_omic)
 
     assert set(served) == set(direct)
@@ -64,7 +64,7 @@ def test_export_surv_task_emits_hazards():
     opt = _opt(task="surv", label_dim=1)
     model = define_model(opt)
     params, stats = _init(opt, model, jax.random.PRNGKey(1))
-    blob = export_infer(opt, model, params, stats, BATCH)
+    blob, outputs = export_infer(opt, model, params, stats, BATCH)
     x_path, x_omic = _inputs(1)
     served = load_exported(blob)(x_path, x_omic)
     assert {"hazard_fuse", "hazard_path", "hazard_omic"} <= set(served)
@@ -111,8 +111,53 @@ def test_export_rejects_wrong_shape():
     opt = _opt()
     model = define_model(opt)
     params, stats = _init(opt, model, jax.random.PRNGKey(0))
-    blob = export_infer(opt, model, params, stats, BATCH)
+    blob, outputs = export_infer(opt, model, params, stats, BATCH)
     fn = load_exported(blob)
     x_path, x_omic = _inputs()
     with pytest.raises(Exception):
         fn(x_path[:2], x_omic[:2])  # artifact is fixed-shape by design
+
+
+def test_export_refuses_test_augment_configs():
+    """--test_augment evals go through random augmentation; a deterministic
+    artifact cannot reproduce them, so export fails fast."""
+    opt = _opt(test_augment=True)
+    model = define_model(opt)
+    params, stats = _init(opt, model, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="test_augment"):
+        export_infer(opt, model, params, stats, BATCH)
+
+
+def test_export_cli_prefers_checkpoint_opt(tmp_path):
+    """The checkpoint's saved opt is the source of truth for the exported
+    forward: CLI flags that disagree on shape-invariant arch knobs must not
+    change the artifact (only --export_batch is taken from the CLI)."""
+    from multimodal_learning_tpu.cli import export_model
+    from multimodal_learning_tpu.utils.checkpoint import save_checkpoint
+
+    opt = _opt(checkpoints_dir=str(tmp_path), exp_name="e", model_name="m")
+    model = define_model(opt)
+    params, stats = _init(opt, model, jax.random.PRNGKey(4))
+    ckpt_dir = os.path.join(str(tmp_path), "e", "m")
+    save_checkpoint(os.path.join(ckpt_dir, "m_1_best.pt"),
+                    {"model_state_dict": params, "batch_stats": stats,
+                     "opt": opt})
+
+    # act_type Tanh would change the forward without changing param shapes;
+    # the CLI must export the checkpoint's act_type (LSM default)
+    written = export_model.main(
+        ["--checkpoints_dir", str(tmp_path), "--exp_name", "e",
+         "--model_name", "m", "--mode", "pathomic", "--task", "grad",
+         "--input_size_path", str(SIZE), "--batch_size", str(BATCH),
+         "--label_dim", "3", "--act_type", "Tanh", "--export_batch",
+         str(BATCH)])
+    served = load_exported(open(written[0], "rb").read())
+    direct = jax.jit(make_infer_fn(opt, model, params, stats))(*_inputs(5))
+    out = served(*_inputs(5))
+    for k in direct:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(direct[k]))
+
+    import json
+    man = json.load(open(written[0] + ".json"))
+    assert man["opt"]["act_type"] == opt.act_type  # provenance is truthful
