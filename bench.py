@@ -427,7 +427,31 @@ def bench_torch_cpu() -> float:
     return pps
 
 
+def _arm_watchdog():
+    """The dev rig's TPU tunnel can wedge on connect (CLAUDE.md); a hung
+    bench would stall the round driver, so after MML_BENCH_TIMEOUT seconds
+    (default 30 min, 0 disables) emit the one JSON line with an error and
+    hard-exit — blocking XLA calls can't be interrupted any other way."""
+    limit = float(os.environ.get("MML_BENCH_TIMEOUT", "1800") or 0)
+    if limit <= 0:
+        return
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "GBMLGG ROI patches/sec/chip (train+eval)",
+            "value": None, "unit": "patches/sec", "vs_baseline": None,
+            "error": f"bench timed out after {limit:.0f}s "
+                     "(device unreachable or compile hung)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_watchdog()
     res = bench_jax()
     fam = {}
     if FAMILIES:
