@@ -13,7 +13,8 @@ Generations implemented (reference pointers):
   (and optionally negative) selection (``memory_new.py:103-222, 249-397``)
 - v4 soft negative reweighting (``MIA 2022/CL_utils/memory_new.py:398-561``)
   via ``neg_reweight=True``
-- mono (student->teacher-bank only) via the returned ``out_v1`` alone
+- mono (student->teacher-bank only) via the returned ``out_v1`` alone with
+  ``pos_sort="v4"`` — mono shares v4's fixed relation orientation
   (``MIA 2022/CL_utils/memory_new.py:565-700``)
 
 Semantics notes (behavioural parity, verified against the torch code):
@@ -148,7 +149,7 @@ def crd_scores_select(
     select_pos_mode: str = "hard", select_pos_pairs: bool = True,
     select_neg_pairs: bool = True, neg_reweight: bool = False,
     epoch_frac: float = 0.0, rng: Optional[jax.Array] = None,
-    update_bank: bool = True,
+    update_bank: bool = True, pos_sort: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CRDBank, Optional[jnp.ndarray]]:
     """DC-Distill / DSCD memory forward (v2/v3/v4).
 
@@ -157,6 +158,11 @@ def crd_scores_select(
     curriculum, ``memory_new.py:160-175``); negatives optionally ranked
     ascending and the hardest K2 kept (v3, ``memory_new.py:338-356``) or
     soft-reweighted (v4, ``MIA 2022 memory_new.py:510-517``).
+
+    With ``neg_reweight`` the v4 weights are already folded into the returned
+    negative scores (and into the Z estimate) exactly as the reference does;
+    the fourth return value exposes them for diagnostics only — do NOT also
+    pass them to :func:`contrast_loss`.
     """
     batch = v1.shape[0]
     out_v1, out_v2, w1, w2 = _gather_scores(bank, v1, v2, idx, T)
@@ -170,7 +176,21 @@ def crd_scores_select(
     rel2 = _cos_rel(w2, v2)  # teacher query vs teacher bank
 
     if select_pos_pairs:
-        diff_pos = rel1[:, :P] - rel2[:, :P]
+        # v2/v3 sort by ``t_relation - s_relation`` where their misnamed
+        # ``t_relation`` is the *student*-side cosine (``memory_new.py:148-151``)
+        # -> rel1 - rel2.  v4 and mono fixed the naming (teacher relation from
+        # the teacher bank, ``MIA 2022/CL_utils/memory_new.py:460-464,
+        # :632-637``), so their sort runs the OPPOSITE way: rel2 - rel1.
+        # ``pos_sort`` overrides the default per-variant orientation
+        # ("v23" | "v4"; None = v4 orientation iff ``neg_reweight``).
+        if pos_sort is None:
+            pos_sort = "v4" if neg_reweight else "v23"
+        if pos_sort == "v4":
+            diff_pos = rel2[:, :P] - rel1[:, :P]
+        elif pos_sort == "v23":
+            diff_pos = rel1[:, :P] - rel2[:, :P]
+        else:
+            raise ValueError(f"pos_sort: {pos_sort!r}")
         order = jnp.argsort(-diff_pos, axis=1)  # descending
         if select_pos_mode == "hard":
             sel = order[:, :P2]
@@ -198,12 +218,18 @@ def crd_scores_select(
 
     neg_weights = None
     if neg_reweight:
-        # v4: keep all K negatives, weighted by (rel1 - rel2 + 1)
-        # (MIA 2022/CL_utils/memory_new.py:510-517)
-        neg_v1 = out_v1[:, P:]
-        neg_v2 = out_v2[:, P:]
+        # v4: keep all K negatives, each exp-score MULTIPLIED by
+        # ``s_relation - t_relation + 1`` = rel1 - rel2 + 1 (their fixed
+        # naming; ``MIA 2022/CL_utils/memory_new.py:510-517``).  The weight
+        # scales the score inside the NCE log (not the log term), and the
+        # weighted scores feed the first-batch Z estimate, exactly as the
+        # reference.  Weights are detached there (relations computed from
+        # ``.detach()``-ed tensors); can dip below 0 when rel2 - rel1 > 1 —
+        # a reference behaviour we reproduce rather than clamp.
         neg_weights = jax.lax.stop_gradient(
             rel1[:, P:] - rel2[:, P:] + 1.0)
+        neg_v1 = out_v1[:, P:] * neg_weights
+        neg_v2 = out_v2[:, P:] * neg_weights
     elif select_neg_pairs:
         diff_neg = rel1[:, P:] - rel2[:, P:]
         order = jnp.argsort(diff_neg, axis=1)[:, :K2]  # ascending
@@ -224,9 +250,7 @@ def crd_scores_select(
 
 
 def contrast_loss(x: jnp.ndarray, n_data: int, n_pos: int = 1,
-                  per_sample: bool = False,
-                  pos_weights: Optional[jnp.ndarray] = None,
-                  neg_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  per_sample: bool = False) -> jnp.ndarray:
     """NCE binary log-loss (``CRD_criterion.py:191-216`` for n_pos=1;
     ``CRD_loss.py ContrastLoss_v2`` for multi-positive: the positive terms are
     averaged over the P2 slots).
@@ -240,12 +264,8 @@ def contrast_loss(x: jnp.ndarray, n_data: int, n_pos: int = 1,
 
     p_pos = x[:, :n_pos]
     log_d1 = jnp.log(p_pos / (p_pos + m * Pn + EPS))
-    if pos_weights is not None:
-        log_d1 = log_d1 * pos_weights
     p_neg = x[:, n_pos:]
     log_d0 = jnp.log((m * Pn) / (p_neg + m * Pn + EPS))
-    if neg_weights is not None:
-        log_d0 = log_d0 * neg_weights
 
     if n_pos > 1:
         pos_term = jnp.mean(log_d1, axis=1)  # average over P2 positives

@@ -13,7 +13,8 @@ the reference's ``.detach()`` call sites.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+import math
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,38 +53,38 @@ def attention_loss(g_s: Sequence[jnp.ndarray], g_t: Sequence[jnp.ndarray],
 
 
 def correlation_loss(f_s: jnp.ndarray, f_t: jnp.ndarray) -> jnp.ndarray:
-    """CC: congruence of (projected) feature deltas (``CC.py``): mean squared
-    difference of the pairwise sample-correlation matrices."""
-    b = f_s.shape[0]
-
-    def corr(f):
-        f = f - f.mean(0, keepdims=True)
-        f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
-        return f @ f.T
-
-    return jnp.sum((corr(f_s) - corr(f_t)) ** 2) / (b * b)
+    """CC (``CC.py:14-17``, the author-shared version the reference runs
+    live): ``delta = |f_s - f_t|``, then the mean over consecutive-sample
+    pairs of ``dot(delta[i], delta[i+1])`` — congruence of the error
+    patterns of neighbouring batch rows.  (The similarity-preserving variant
+    in ``CC.py:20-42`` is commented out upstream.)"""
+    delta = jnp.abs(f_s - f_t)
+    return jnp.mean(jnp.sum(delta[:-1] * delta[1:], axis=1))
 
 
 class VIDHead(nn.Module):
     """Variational Information Distillation regressor: predicts the teacher
     feature mean from the student feature; per-channel log-variance is a
-    learned parameter (``VID.py``)."""
+    learned parameter (``VID.py:18-54``).  The reference's three conv1x1
+    layers are bias-free Denses here (1x1 conv on a vector IS a Dense);
+    ``init_pred_var``/``eps`` follow ``VID.py:17`` exactly."""
     out_dim: int
     mid_dim: int = 128
     init_pred_var: float = 5.0
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, f_s, f_t):
-        h = nn.relu(nn.Dense(self.mid_dim,
-                             kernel_init=torch_linear_default)(f_s))
-        h = nn.relu(nn.Dense(self.mid_dim,
-                             kernel_init=torch_linear_default)(h))
-        mean = nn.Dense(self.out_dim, kernel_init=torch_linear_default)(h)
+        dense = lambda d: nn.Dense(d, use_bias=False,
+                                   kernel_init=torch_linear_default)
+        h = nn.relu(dense(self.mid_dim)(f_s))
+        h = nn.relu(dense(self.mid_dim)(h))
+        mean = dense(self.out_dim)(h)
+        init_alpha = math.log(math.exp(self.init_pred_var - self.eps) - 1.0)
         alpha = self.param(
-            "log_scale", lambda k, s: jnp.full(
-                s, float(jnp.log(jnp.exp(self.init_pred_var - 1.0) - 1.0))),
+            "log_scale", lambda k, s: jnp.full(s, init_alpha),
             (self.out_dim,))
-        var = jnp.log1p(jnp.exp(alpha)) + 1.0          # softplus + 1
+        var = jnp.log1p(jnp.exp(alpha)) + self.eps     # softplus + eps
         neg_log_prob = 0.5 * (jnp.log(var) + (f_t - mean) ** 2 / var)
         return jnp.mean(neg_log_prob)
 
@@ -143,42 +144,82 @@ def pkt_loss(f_s: jnp.ndarray, f_t: jnp.ndarray,
 def ab_loss(f_s: jnp.ndarray, f_t: jnp.ndarray,
             margin: float = 1.0) -> jnp.ndarray:
     """Activation Boundaries (AAAI'19): hinge on pre-activation sign
-    agreement (``AB.py``)."""
+    agreement, per layer: ``sum / bsz / 1000 * 3`` (``AB.py:16-31``).  The
+    reference's per-layer weights ``2^(i-n+1)`` are the caller's job."""
     loss = ((f_s + margin) ** 2 * ((f_s > -margin) & (f_t <= 0))
             + (f_s - margin) ** 2 * ((f_s <= margin) & (f_t > 0)))
-    return jnp.mean(jnp.sum(loss.reshape(f_s.shape[0], -1), axis=1))
+    per_sample = jnp.sum(loss.reshape(f_s.shape[0], -1), axis=1)
+    return jnp.mean(per_sample) / 1000.0 * 3.0
 
 
-def factor_transfer_loss(factor_s: jnp.ndarray,
-                         factor_t: jnp.ndarray) -> jnp.ndarray:
-    """FT (NeurIPS'18): L1 between l2-normalised flattened factors
-    (``FT.py``)."""
+def factor_transfer_loss(factor_s: jnp.ndarray, factor_t: jnp.ndarray,
+                         p1: int = 2, p2: int = 1) -> jnp.ndarray:
+    """FT (NeurIPS'18): Lp2 between l2-normalised factors (``FT.py:14-31``).
+    4-D NHWC maps get the reference's factor extraction ``mean_c(f^p1)``
+    first; pre-extracted (2-D) factors are used as-is."""
 
-    def norm(f):
+    def factor(f):
+        if f.ndim == 4:
+            f = jnp.mean(f ** p1, axis=-1)
         f = f.reshape(f.shape[0], -1)
         return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
                                1e-12)
 
-    return jnp.mean(jnp.abs(norm(factor_s) - norm(factor_t)))
+    d = factor(factor_s) - factor(factor_t)
+    if p2 == 1:
+        return jnp.mean(jnp.abs(d))
+    return jnp.mean(d ** p2)
+
+
+def _kdsvd_basis(f: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Truncated right-singular basis of the per-sample [HW, C] matrices
+    (``KDSVD.py:47-66``): v [B, C, n] and s [B, n], each l2-normalised along
+    dim 1 as the reference does; non-finite entries zeroed."""
+    b, h, w, c = f.shape
+    x = f.reshape(b, h * w, c)
+    _, s, vh = jnp.linalg.svd(x, full_matrices=False)
+    v = jnp.swapaxes(vh, -2, -1)                         # [B, C, m]
+    fin = lambda a: jnp.where(jnp.isfinite(a), a, 0.0)
+    v, s = fin(v[:, :, :n]), fin(s[:, :n])
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    s = s / jnp.maximum(jnp.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+    return v, s
+
+
+def _kdsvd_align(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``align_rsv`` (``KDSVD.py:68-75``): signed column-matching of the
+    student basis onto the teacher's."""
+    cos = jnp.einsum("bcm,bcn->bmn", a, b)
+    is_max = jnp.abs(cos) == jnp.max(jnp.abs(cos), axis=1, keepdims=True)
+    mask = jnp.where(is_max, jnp.sign(cos), 0.0)
+    return jnp.einsum("bcm,bmn->bcn", a, mask)
 
 
 def kdsvd_loss(g_s: Sequence[jnp.ndarray],
-               g_t: Sequence[jnp.ndarray], k: int = 4) -> List[jnp.ndarray]:
-    """KDSVD (ECCV'18): distill truncated right-singular subspaces of the
-    flattened feature maps, RBF-correlated across consecutive layers
-    (``KDSVD.py``); simplified to per-layer subspace alignment."""
+               g_t: Sequence[jnp.ndarray], k: int = 1) -> List[jnp.ndarray]:
+    """KDSVD (ECCV'18): distill the truncated right-singular bases of the
+    flattened feature maps, RBF-correlated across consecutive layer pairs
+    (``KDSVD.py:17-45``).  Maps NHWC; student bases take ``k+3`` columns,
+    sign-aligned onto the teacher's ``k`` and scaled by the teacher's
+    singular values; layer i>0 contributes the squared difference of the
+    inter-layer RBF affinities, summed and divided by the batch size."""
     losses = []
-    for f_s, f_t in zip(g_s, g_t):
-        b = f_s.shape[0]
-        s_mat = f_s.reshape(b, -1)
-        t_mat = jax.lax.stop_gradient(f_t.reshape(b, -1))
-        _, _, v_s = jnp.linalg.svd(s_mat, full_matrices=False)
-        _, _, v_t = jnp.linalg.svd(t_mat, full_matrices=False)
-        kk = min(k, v_s.shape[0])
-        # subspace alignment is sign-invariant: compare projectors
-        p_s = v_s[:kk].T @ v_s[:kk]
-        p_t = v_t[:kk].T @ v_t[:kk]
-        losses.append(jnp.mean((p_s - p_t) ** 2))
+    v_sb = v_tb = None
+    for i, (f_s, f_t) in enumerate(zip(g_s, g_t)):
+        v_t, s_t = _kdsvd_basis(jax.lax.stop_gradient(f_t), k)
+        v_s, _ = _kdsvd_basis(f_s, k + 3)
+        v_s = _kdsvd_align(v_s, v_t)
+        v_t = v_t * s_t[:, None, :]
+        v_s = v_s * s_t[:, None, :]
+        if i > 0:
+            s_rbf = jnp.exp(-(v_s[:, :, None, :] - v_sb[:, None, :, :]) ** 2
+                            / 8.0)
+            t_rbf = jnp.exp(-(v_t[:, :, None, :] - v_tb[:, None, :, :]) ** 2
+                            / 8.0)
+            l2 = (s_rbf - jax.lax.stop_gradient(t_rbf)) ** 2
+            l2 = jnp.where(jnp.isfinite(l2), l2, 0.0)
+            losses.append(jnp.sum(l2) / g_s[0].shape[0])
+        v_sb, v_tb = v_s, v_t
     return losses
 
 

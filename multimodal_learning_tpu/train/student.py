@@ -266,7 +266,7 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                                       path_feat)
                     f_t = embed.apply({"params": params[f"crd_{name}_t"]},
                                       t_feat)
-                    out_s, out_t, _, negw = crd_scores_select(
+                    out_s, out_t, _, _ = crd_scores_select(
                         state.banks[name], f_s, f_t, batch["index"],
                         batch["sample_idx"], P=opt.nce_p, K=opt.nce_k,
                         P2=opt.nce_p2, K2=opt.nce_k2, T=opt.nce_t,
@@ -278,11 +278,11 @@ def build_student_train_step(opt, model, teacher_model, teacher_vars, tx):
                         epoch_frac=epoch_frac, rng=k_sel,
                         update_bank=False)
                     n_pos = opt.nce_p2 if opt.select_pos_pairs else opt.nce_p
+                    # v4 neg_reweight weights are already folded into the
+                    # scores by crd_scores_select (reference semantics).
                     crd = (contrast_loss(out_s, opt.n_data, n_pos=n_pos,
-                                         neg_weights=negw,
                                          per_sample=per_sample)
                            + contrast_loss(out_t, opt.n_data, n_pos=n_pos,
-                                           neg_weights=negw,
                                            per_sample=per_sample))
                     beta = 1.0 if opt.beta is None else opt.beta
                     losses[f"kd{i}"] = beta * crd

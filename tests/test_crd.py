@@ -139,16 +139,40 @@ def test_crd_select_hard_picks_largest_discrepancy(rng):
 
 
 def test_crd_v4_neg_reweight(rng):
+    """v4 (MIA 2022/CL_utils/memory_new.py:398-561): the negative exp-scores
+    are multiplied by stop-grad ``rel1 - rel2 + 1`` BEFORE the Z estimate,
+    and — because v4 fixed v2/v3's swapped relation naming — the positive
+    sort runs on ``rel2 - rel1`` descending."""
     n, d, b = 32, 8, 2
-    P, K = 4, 8
+    P, K, P2 = 4, 8, 2
     bank = init_bank(jax.random.PRNGKey(3), n, d)
-    v = rng.normal(size=(b, d)).astype(np.float32)
+    v1 = rng.normal(size=(b, d)).astype(np.float32)
+    v2 = rng.normal(size=(b, d)).astype(np.float32)
     y = np.arange(b, dtype=np.int32)
     idx = np.stack([rng.choice(n, P + K, replace=False)
                     for _ in range(b)]).astype(np.int32)
     out_v1, out_v2, _, negw = crd_scores_select(
-        bank, jnp.asarray(v), jnp.asarray(v), jnp.asarray(y),
-        jnp.asarray(idx), P=P, K=K, P2=2, K2=0, select_pos_mode="hard",
+        bank, jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(y),
+        jnp.asarray(idx), P=P, K=K, P2=P2, K2=0, select_pos_mode="hard",
         neg_reweight=True)
     assert negw.shape == (b, K)
-    assert out_v1.shape == (b, 2 + K)
+    assert out_v1.shape == (b, P2 + K)
+
+    mem1, mem2 = np.asarray(bank.memory_v1), np.asarray(bank.memory_v2)
+    w1, w2 = mem1[idx], mem2[idx]
+    rel1 = np.einsum("bsd,bd->bs",
+                     w1 / np.linalg.norm(w1, axis=2, keepdims=True),
+                     v1 / np.linalg.norm(v1, axis=1, keepdims=True))
+    rel2 = np.einsum("bsd,bd->bs",
+                     w2 / np.linalg.norm(w2, axis=2, keepdims=True),
+                     v2 / np.linalg.norm(v2, axis=1, keepdims=True))
+    raw_v1 = np.exp(np.einsum("bsd,bd->bs", w2, v1) / 0.07)
+    order = np.argsort(-(rel2[:, :P] - rel1[:, :P]), axis=1)[:, :P2]
+    order[:, 0] = 0
+    sel_pos = np.take_along_axis(raw_v1[:, :P], order, axis=1)
+    wneg = rel1[:, P:] - rel2[:, P:] + 1.0
+    np.testing.assert_allclose(np.asarray(negw), wneg, rtol=2e-4)
+    weighted_neg = raw_v1[:, P:] * wneg
+    ref = np.concatenate([sel_pos, weighted_neg], 1)
+    ref = ref / (ref.mean() * n)  # Z includes the weighted negatives
+    np.testing.assert_allclose(np.asarray(out_v1), ref, rtol=2e-4)

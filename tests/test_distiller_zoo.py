@@ -67,7 +67,7 @@ def test_map_based_losses_shapes(rng):
     fsp = fsp_loss(maps_s, maps_t)
     assert len(fsp) == 1 and np.isfinite(float(fsp[0]))
     svd = kdsvd_loss(maps_s, maps_t)
-    assert len(svd) == 2
+    assert len(svd) == 1 and np.isfinite(float(svd[0]))
     nst = float(nst_loss(maps_s[0], maps_t[0]))
     assert np.isfinite(nst) and nst >= -1e-5
     assert float(nst_loss(maps_s[0], maps_s[0])) == pytest.approx(0.0,
