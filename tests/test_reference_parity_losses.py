@@ -63,3 +63,46 @@ def test_supcon_loss(rng, mode, labelled):
                        temperature=0.1, base_temperature=0.07,
                        contrast_mode=mode)
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_pred_kd_and_sp_loss(rng):
+    """Direct parity for ``pred_KD_loss`` (surv MSE + grad KL, batch and
+    per-sample) and ``SP_loss`` (``MICCAI-2022/CL_utils/KD_losses.py``) —
+    the teacher-step test exercises them only in composition."""
+    import types as _types
+
+    from multimodal_learning_tpu.losses.kd import pred_kd_loss, sp_loss
+    m = _load("/root/reference/MICCAI-2022/CL_utils/KD_losses.py",
+              "ref_kd_losses")
+
+    b, c = 6, 3
+    logp = np.log(np.random.default_rng(1).dirichlet(np.ones(c), b)
+                  ).astype(np.float32)
+    logp_t = np.log(np.random.default_rng(2).dirichlet(np.ones(c), b)
+                    ).astype(np.float32)
+
+    o = _types.SimpleNamespace(task="grad")
+    ref = m.pred_KD_loss(o, torch.from_numpy(logp), torch.from_numpy(logp_t))
+    ours = pred_kd_loss(jnp.asarray(logp), jnp.asarray(logp_t), task="grad")
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    ref_ps = m.pred_KD_loss(o, torch.from_numpy(logp),
+                            torch.from_numpy(logp_t), sample_KD="True")
+    ours_ps = pred_kd_loss(jnp.asarray(logp), jnp.asarray(logp_t),
+                           task="grad", per_sample=True)
+    np.testing.assert_allclose(np.asarray(ours_ps), ref_ps.numpy(),
+                               rtol=1e-5)
+
+    h_s = rng.normal(size=(b, 1)).astype(np.float32)
+    h_t = rng.normal(size=(b, 1)).astype(np.float32)
+    o_surv = _types.SimpleNamespace(task="surv")
+    ref_s = m.pred_KD_loss(o_surv, torch.from_numpy(h_s),
+                           torch.from_numpy(h_t))
+    ours_s = pred_kd_loss(jnp.asarray(h_s), jnp.asarray(h_t), task="surv")
+    np.testing.assert_allclose(float(ours_s), float(ref_s), rtol=1e-5)
+
+    f_s = rng.normal(size=(b, 10)).astype(np.float32)
+    f_t = rng.normal(size=(b, 10)).astype(np.float32)
+    ref_sp = m.SP_loss(torch.from_numpy(f_s), torch.from_numpy(f_t))
+    ours_sp = sp_loss(jnp.asarray(f_s), jnp.asarray(f_t))
+    np.testing.assert_allclose(float(ours_sp), float(ref_sp), rtol=1e-5)
