@@ -38,14 +38,18 @@ def export_fold(opt, ckpt_path: str, out_path: str) -> str:
     if isinstance(saved, dict):
         import dataclasses
         cli_export_batch = opt.export_batch
+        cli_dynamic = opt.export_dynamic_batch
         fields = {f.name for f in dataclasses.fields(type(opt))}
         opt = type(opt)(**{k: v for k, v in saved.items() if k in fields})
         if cli_export_batch:
             opt = opt.replace(export_batch=cli_export_batch)
+        if cli_dynamic:
+            opt = opt.replace(export_dynamic_batch=True)
     model = define_model(opt)
     params = ckpt["model_state_dict"]
     stats = ckpt.get("batch_stats", {})
-    bs = opt.export_batch or opt.batch_size
+    bs = ("dynamic" if opt.export_dynamic_batch
+          else (opt.export_batch or opt.batch_size))
     blob, outputs = export_infer(opt, model, params, stats, bs)
     write_artifact(out_path, blob, manifest(opt, bs, outputs))
     return out_path

@@ -250,6 +250,11 @@ class Options:
     export_batch: int = 0                  # cli.export_model serving batch
     #                                        size (0 = --batch_size); the
     #                                        StableHLO artifact is fixed-shape
+    export_dynamic_batch: bool = False     # export a batch-POLYMORPHIC
+    #                                        artifact instead (jax.export
+    #                                        symbolic shapes): one blob serves
+    #                                        any batch size, one compile per
+    #                                        distinct size at serve time
     test_augment: bool = False             # the MICCAI/MIA22 reference applies
     #                                        the full random augmentation at
     #                                        test time too

@@ -131,8 +131,12 @@ class _KronEncoder1(nn.Module):
         # (~15 MB at the paper config's batch 32).  Batches beyond that
         # overflow the 16 MB budget with an opaque Mosaic error, so fall
         # back to the einsum path instead of compiling a crash (ADVICE r2).
-        train_vmem_ok = (4 * (3 * o1.shape[0] * n + n * self.mmhid
-                              + o1.shape[0] * self.mmhid)
+        # isinstance(int) also bails out under jax.export symbolic batch
+        # dims (export_dynamic_batch), where the byte comparison would be
+        # inconclusive — the einsum path is fully shape-polymorphic.
+        train_vmem_ok = (isinstance(o1.shape[0], int)
+                         and 4 * (3 * o1.shape[0] * n + n * self.mmhid
+                                  + o1.shape[0] * self.mmhid)
                          <= 15 * 1024 * 1024)
         if (self.pallas_train and train and self._pallas_ok()
                 and train_vmem_ok):

@@ -74,17 +74,26 @@ def make_infer_fn(opt, model, params, batch_stats) -> Callable:
     return infer
 
 
-def export_infer(opt, model, params, batch_stats, batch_size: int):
+def export_infer(opt, model, params, batch_stats, batch_size):
     """Serialize the eval forward at ``batch_size``.
+
+    ``batch_size`` is an int for a fixed-shape artifact (the TPU-friendly
+    default: no serve-time recompiles) or the string ``"dynamic"`` for a
+    batch-polymorphic artifact (``jax.export`` symbolic shapes): one blob
+    serves ANY batch size, at the cost of one compile per distinct size at
+    load/serve time — the right trade for CPU serving or bucketed batchers.
 
     Returns ``(blob, output_names)`` — the StableHLO bytes and the output
     dict's keys, read from the export's own pytree metadata (no second
     trace, so the manifest can never disagree with the artifact)."""
     infer = make_infer_fn(opt, model, params, batch_stats)
     s = opt.input_size_path
-    x_path = jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.uint8)
-    x_omic = jax.ShapeDtypeStruct((batch_size, opt.input_size_omic),
-                                  jnp.float32)
+    if batch_size == "dynamic":
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    x_path = jax.ShapeDtypeStruct((b, s, s, 3), jnp.uint8)
+    x_omic = jax.ShapeDtypeStruct((b, opt.input_size_omic), jnp.float32)
     exported = jax.export.export(
         jax.jit(infer), platforms=("cpu", "tpu"))(x_path, x_omic)
     outs = jax.tree_util.tree_unflatten(exported.out_tree,
@@ -99,15 +108,16 @@ def load_exported(data: bytes) -> Callable:
     return jax.jit(exported.call)
 
 
-def manifest(opt, batch_size: int, outputs) -> Dict[str, Any]:
+def manifest(opt, batch_size, outputs) -> Dict[str, Any]:
     """Sidecar JSON: calling convention + the config that produced it."""
+    b = "b" if batch_size == "dynamic" else batch_size
     return {
         "format": "stablehlo/jax.export",
         "platforms": ["cpu", "tpu"],
         "inputs": {
-            "x_path": f"uint8[{batch_size},{opt.input_size_path},"
+            "x_path": f"uint8[{b},{opt.input_size_path},"
                       f"{opt.input_size_path},3]",
-            "x_omic": f"float32[{batch_size},{opt.input_size_omic}]",
+            "x_omic": f"float32[{b},{opt.input_size_omic}]",
         },
         "outputs": sorted(outputs),
         "task": opt.task,

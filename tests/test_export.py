@@ -161,3 +161,27 @@ def test_export_cli_prefers_checkpoint_opt(tmp_path):
     import json
     man = json.load(open(written[0] + ".json"))
     assert man["opt"]["act_type"] == opt.act_type  # provenance is truthful
+
+
+def test_export_dynamic_batch_serves_any_size():
+    """batch_size='dynamic' exports a batch-polymorphic artifact: one blob,
+    called at two different batch sizes, each matching the direct forward."""
+    opt = _opt()
+    model = define_model(opt)
+    params, stats = _init(opt, model, jax.random.PRNGKey(2))
+    blob, outputs = export_infer(opt, model, params, stats, "dynamic")
+    fn = load_exported(blob)
+    direct = jax.jit(make_infer_fn(opt, model, params, stats))
+
+    rng = np.random.default_rng(7)
+    for b in (2, 5):
+        x_path = rng.integers(0, 255, (b, SIZE, SIZE, 3), dtype=np.uint8)
+        x_omic = rng.normal(size=(b, 80)).astype(np.float32)
+        served = fn(x_path, x_omic)
+        want = direct(x_path, x_omic)
+        assert set(served) == set(want)
+        for k in want:
+            assert served[k].shape[0] == b
+            np.testing.assert_allclose(np.asarray(served[k]),
+                                       np.asarray(want[k]),
+                                       rtol=1e-6, atol=1e-6)
