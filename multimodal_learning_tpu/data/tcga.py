@@ -100,3 +100,75 @@ def get_clean_all_dataset(dataroot: str = "./data/TCGA_GBMLGG/",
     metadata.append("Histomolecular subtype")
     all_dataset["censored"] = 1 - all_dataset["censored"]
     return metadata, all_dataset
+
+
+def get_clean_kirc(dataroot: str = "./", rnaseq_cutoff="all",
+                   cnv_cutoff: float = 7.0, mut_cutoff=5.0) -> pd.DataFrame:
+    """TCGA-KIRC omic-feature recipe (``core/utils_data.py:120-165`` —
+    dead code in the reference: no call sites; the KIRC analysis functions
+    consume pre-built pickles).
+
+    Joins per-sample RNAseq z-scores restricted to the DEG list, CNV calls
+    restricted by alteration frequency, and per-gene mutation indicators,
+    all keyed by the clinical table's sample index.  ``rnaseq_cutoff`` and
+    ``mut_cutoff`` are accepted-but-unused exactly like the reference
+    (``:136`` computes the former and never applies either).  Two
+    documented fixes of latent crashes in the reference's own text
+    (PARITY.md deviations; ``tests/test_reference_parity_tcga.py`` proves
+    the reference raises where these fire):
+
+    - mutation rows: the reference's ``mut.index[:-3]`` (``:160``) is a
+      *positional* slice, so its boolean mask is 3 short and ``.loc``
+      raises whenever any ``muts/*.tsv`` exists; the evident intent is
+      stripping the ``-0X`` sample suffix to a Patient ID —
+      ``index.str[:-3]`` here.
+    - mutation gene names: ``'VHL.tsv'.rstrip('.tsv')`` (``:159``) strips
+      a character *class* (mangling genes ending in t/s/v — ``MET.tsv``
+      -> ``ME``); here the ``.tsv`` suffix is removed.
+    - ``muts/`` files are visited in sorted order (the reference's
+      ``os.listdir`` order is filesystem-dependent).
+    """
+    clinical = pd.read_table(
+        os.path.join(dataroot,
+                     "kirc_tcga_pan_can_atlas_2018_clinical_data.tsv"),
+        index_col=2)
+    clinical.index.name = None
+
+    rnaseq = pd.read_table(
+        os.path.join(dataroot, "data_RNA_Seq_v2_mRNA_median_Zscores.txt"),
+        index_col=0)
+    rnaseq = rnaseq[rnaseq.index.notnull()]
+    rnaseq = rnaseq.drop(["Entrez_Gene_Id"], axis=1)
+    rnaseq.index.name = None
+    degs = pd.read_csv(os.path.join(dataroot, "dataDEGs_kirc.csv"),
+                       index_col=0)
+    degs = degs.sort_values(["PValue", "logFC"], ascending=False)
+    rnaseq = rnaseq.loc[rnaseq.index.intersection(degs.index)].T
+    rnaseq.columns = [g + "_rnaseq" for g in rnaseq.columns]
+
+    cnv = pd.read_table(os.path.join(dataroot, "data_CNA.txt"), index_col=0)
+    cnv = cnv[cnv.index.notnull()]
+    cnv = cnv.drop(["Entrez_Gene_Id"], axis=1)
+    cnv.index.name = None
+    freq = pd.read_table(os.path.join(dataroot, "CNA_Genes.txt"),
+                         index_col=0)
+    freq = freq[["CNA", "Profiled Samples", "Freq"]]
+    freq["Freq"] = freq["Freq"].str.rstrip("%").astype(float)
+    if isinstance(cnv_cutoff, str):
+        cnv_cutoff = freq.shape[0]
+    freq = freq[freq["Freq"] >= cnv_cutoff]
+    cnv = cnv.loc[cnv.index.intersection(freq.index)].T
+    cnv.columns = [g + "_cnv" for g in cnv.columns]
+
+    mut = clinical[["Patient ID"]].copy()
+    muts_dir = os.path.join(dataroot, "muts")
+    for tsv in sorted(os.listdir(muts_dir)):
+        if tsv.endswith(".tsv"):
+            samples = pd.read_table(
+                os.path.join(muts_dir, tsv))["Patient ID"]
+            gene = tsv.split("_")[2][:-len(".tsv")] + "_mut"
+            mut[gene] = 0
+            mut.loc[mut.index.str[:-3].isin(samples), gene] = 1
+    mut = mut.drop(["Patient ID"], axis=1)
+
+    return rnaseq.join(cnv, how="inner").join(mut, how="inner")

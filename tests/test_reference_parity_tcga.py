@@ -111,3 +111,107 @@ def test_get_clean_all_dataset(tmp_path, ref_utils, ignore_mol, ignore_hist):
         ours_df.reset_index(drop=True).astype(object),
         ref_df.reset_index(drop=True).astype(object),
         check_dtype=False)
+
+
+# ---------------------------------------------------------------- KIRC recipe
+
+@pytest.fixture(scope="module")
+def ref_utils_data():
+    """The reference's core/utils_data.py imports only os/pandas/numpy —
+    loadable directly (core/ has no __init__.py)."""
+    import importlib.util
+    import os
+    p = os.path.join(MICCAI, "core", "utils_data.py")
+    spec = importlib.util.spec_from_file_location("ref_utils_data", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_KIRC_GENES = ["KDR", "MET", "VHL", "PBRM1", "SETD2", "BAP1"]
+
+
+def _fabricate_kirc(root, n=6):
+    import os
+    rng = np.random.default_rng(23)
+    samples = [f"TCGA-A3-{1000+i}-01" for i in range(n)]
+    patients = [s[:-3] for s in samples]
+
+    pd.DataFrame({
+        "Study ID": ["kirc_tcga"] * n,
+        "Patient ID": patients,
+        "Sample ID": samples,
+        "Overall Survival Status": rng.choice(["LIVING", "DECEASED"], n),
+    }).to_csv(f"{root}/kirc_tcga_pan_can_atlas_2018_clinical_data.tsv",
+              sep="\t", index=False)
+
+    def omic_table(name, values):
+        df = pd.DataFrame(values, columns=samples)
+        df.insert(0, "Entrez_Gene_Id", np.arange(len(df)) + 100)
+        df.index = pd.Index(_KIRC_GENES + [np.nan], name="Hugo_Symbol")
+        df.to_csv(f"{root}/{name}", sep="\t")
+
+    # +1 NaN-named gene row exercises the notnull filter
+    omic_table("data_RNA_Seq_v2_mRNA_median_Zscores.txt",
+               rng.normal(size=(len(_KIRC_GENES) + 1, n)).round(4))
+    omic_table("data_CNA.txt",
+               rng.integers(-2, 3, size=(len(_KIRC_GENES) + 1, n)))
+
+    pd.DataFrame({"PValue": [1e-5, 1e-4, 2e-3, 1e-2],
+                  "logFC": [2.0, -1.5, 1.1, 0.7]},
+                 index=pd.Index(["VHL", "MET", "KDR", "SETD2"],
+                                name="gene")).to_csv(
+        f"{root}/dataDEGs_kirc.csv")
+
+    pd.DataFrame({"CNA": ["DEL", "AMP", "DEL", "AMP", "DEL", "DEL"],
+                  "Profiled Samples": [n] * 6,
+                  "Freq": ["2.0%", "10.0%", "30.0%", "8.0%", "5.0%",
+                           "12.0%"]},
+                 index=pd.Index(_KIRC_GENES, name="Gene")).to_csv(
+        f"{root}/CNA_Genes.txt", sep="\t")
+
+    os.makedirs(f"{root}/muts", exist_ok=True)
+    return samples, patients
+
+
+def test_get_clean_kirc_matches_reference_without_muts(tmp_path,
+                                                       ref_utils_data):
+    """With an empty muts/ dir the reference's latent indexing crash never
+    fires, so the full rnaseq+cnv join must match bit-for-bit."""
+    from multimodal_learning_tpu.data.tcga import get_clean_kirc
+
+    _fabricate_kirc(tmp_path)
+    ref = ref_utils_data.getCleanKIRC(dataroot=str(tmp_path))
+    ours = get_clean_kirc(dataroot=str(tmp_path))
+    assert list(ours.columns) == list(ref.columns)
+    # DEG intersection + >=7% CNV frequency filter both applied
+    assert {"VHL_rnaseq", "MET_rnaseq", "VHL_cnv", "BAP1_cnv"} <= \
+        set(ours.columns)
+    assert "KDR_cnv" not in ours.columns  # 2% < 7% cutoff
+    pd.testing.assert_frame_equal(ours, ref, check_dtype=False)
+
+
+def test_get_clean_kirc_fixes_reference_mut_crash(tmp_path, ref_utils_data):
+    """The reference raises on ANY muts/*.tsv (``mut.index[:-3]`` is a
+    positional slice -> boolean mask 3 short of the frame); ours strips the
+    sample suffix as intended and keeps full gene names (the reference's
+    ``rstrip('.tsv')`` would mangle MET -> ME)."""
+    from multimodal_learning_tpu.data.tcga import get_clean_kirc
+
+    samples, patients = _fabricate_kirc(tmp_path)
+    for gene, carriers in (("VHL", patients[:3]), ("MET", patients[3:4])):
+        pd.DataFrame({"Patient ID": carriers}).to_csv(
+            f"{tmp_path}/muts/mutated_samples_{gene}.tsv", sep="\t",
+            index=False)
+
+    with pytest.raises(Exception):
+        ref_utils_data.getCleanKIRC(dataroot=str(tmp_path))
+
+    ours = get_clean_kirc(dataroot=str(tmp_path))
+    assert {"VHL_mut", "MET_mut"} <= set(ours.columns)
+    np.testing.assert_array_equal(
+        ours.loc[samples, "VHL_mut"].to_numpy(),
+        np.array([1, 1, 1, 0, 0, 0]))
+    np.testing.assert_array_equal(
+        ours.loc[samples, "MET_mut"].to_numpy(),
+        np.array([0, 0, 0, 1, 0, 0]))
