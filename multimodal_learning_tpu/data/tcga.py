@@ -41,6 +41,16 @@ def add_histomolecular_subtype(data: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def change_histomolecular_subtype(data: pd.DataFrame) -> pd.DataFrame:
+    """Re-derive ``Histomolecular subtype`` from the int-coded columns
+    (``core/utils_data.py:27-44``): drop the stale column and re-subtype.
+    The reference's aggregation flow applies this to the pooled per-patient
+    frame before the subtype-stratified KM plots
+    (``core/utils_analysis.py:567``)."""
+    return add_histomolecular_subtype(
+        data.drop(columns=["Histomolecular subtype"]))
+
+
 def get_clean_all_dataset(dataroot: str = "./data/TCGA_GBMLGG/",
                           ignore_missing_moltype: bool = False,
                           ignore_missing_histype: bool = False,

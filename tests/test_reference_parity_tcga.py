@@ -215,3 +215,24 @@ def test_get_clean_kirc_fixes_reference_mut_crash(tmp_path, ref_utils_data):
     np.testing.assert_array_equal(
         ours.loc[samples, "MET_mut"].to_numpy(),
         np.array([0, 0, 0, 1, 0, 0]))
+
+
+def test_change_histomolecular_subtype_matches_reference(ref_utils_data):
+    """Re-subtyping a pooled frame (``core/utils_data.py:27-44``) — drop the
+    stale column, re-derive from the int-coded Molecular subtype/Histology."""
+    from multimodal_learning_tpu.data.tcga import \
+        change_histomolecular_subtype
+
+    rng = np.random.default_rng(5)
+    n = 20
+    df = pd.DataFrame({
+        "Histomolecular subtype": np.array(["stale"] * n, dtype=object),
+        "Molecular subtype": rng.integers(-1, 3, n),
+        "Histology": rng.integers(-1, 4, n),
+        "Hazard": rng.normal(size=n).round(3),
+    })
+    ref = ref_utils_data.changeHistomolecularSubtype(df.copy())
+    ours = change_histomolecular_subtype(df.copy())
+    assert list(ours.columns) == list(ref.columns)
+    pd.testing.assert_frame_equal(ours.astype(object), ref.astype(object),
+                                  check_dtype=False)
