@@ -137,3 +137,11 @@ def apply_act(act_type: str, hazard: jnp.ndarray) -> jnp.ndarray:
     if act_type == "none":
         return hazard
     raise NotImplementedError(f"activation [{act_type}] is not found")
+
+
+def count_parameters(params) -> int:
+    """Total trainable parameter count (``utils.py:360-363``
+    ``count_parameters``; printed at setup by every reference driver, e.g.
+    ``train_test_MT.py:96``).  All params in the tree are trainable here —
+    freezing is an optimizer mask (``train/freeze.py``), not a tree prune."""
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

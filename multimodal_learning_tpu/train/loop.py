@@ -174,6 +174,9 @@ def train_teacher(opt, data: Dict, fold: int,
     rng, k_init = jax.random.split(rng)
     state = init_teacher_state(opt, model, tx, k_init, n_data,
                                _sample_shapes(opt))
+    from ..models.common import count_parameters
+    log("Number of Trainable Parameters: %d"
+        % count_parameters(state.params))
     if opt.mode == "pathomic" and opt.fusion_type == "mmdynamics":
         train_step = build_mmdynamics_train_step(opt, model, tx)
     else:

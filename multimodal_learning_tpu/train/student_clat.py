@@ -232,6 +232,9 @@ def train_clat_student(opt, data: Dict, fold: int,
     rng, k_init = jax.random.split(rng)
     state = init_student_state(opt, model, tx, k_init, n_data,
                                opt.input_size_path)
+    from ..models.common import count_parameters
+    log("Number of Trainable Parameters: %d"
+        % count_parameters(state.params))
     eval_opt = opt.replace(mode="path")
     eval_step = build_eval_step(eval_opt, model)
 
