@@ -17,7 +17,13 @@ native/datacore/libdatacore.so: native/datacore/datacore.cpp
 test:
 	python -m pytest tests/ -x -q
 
+# fast correctness tier (<5 min on a healthy rig): one jitted step per
+# family, one reference-parity file per suite, CLI surface.  For degraded
+# rigs where the full 45-60 min suite is infeasible (VERDICT r3 #2).
+smoke:
+	python -m pytest tests/ -m smoke -x -q
+
 clean:
 	rm -f $(NATIVE)
 
-.PHONY: all native test clean
+.PHONY: all native test smoke clean

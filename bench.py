@@ -20,14 +20,30 @@ Baseline: the same workload shape on PyTorch CPU (the reference repo is
 CUDA-or-CPU torch; this container has torch-CPU), measured once and cached
 in ``.bench_baseline.json``.
 
-Prints ONE JSON line:
+Wedge-proof emission protocol (round-3 lesson: a wedged tunnel + the driver's
+external timeout produced `rc 124, parsed: null` — NO number for the round):
+- a cumulative JSON line is printed to stdout after EVERY measurement phase
+  (flagship train first, then eval, then each family), marked
+  ``"partial": true`` until the run completes; the driver parses the LAST
+  line in its captured tail, so a kill at any point still yields the most
+  complete record measured so far;
+- a heartbeat watchdog thread emits the partial record and hard-exits if no
+  phase completes for MML_BENCH_STALL seconds (default 900 — generous vs
+  any single legit compile even on a degraded 1-core host) or the total run
+  exceeds MML_BENCH_TIMEOUT (default 1800); blocking XLA RPCs can't be
+  interrupted, so ``os._exit`` it is;
+- SIGTERM (the driver's `timeout`) also triggers a best-effort partial emit.
+
+The final line (no "partial" key):
     {"metric": ..., "value": N, "unit": "patches/sec", "vs_baseline": N}
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -45,6 +61,96 @@ N_DISTINCT = 1     # one resident batch: per-step augmentation keys already
 REPS = 3
 DTYPE = os.environ.get("MML_BENCH_DTYPE", "bfloat16")
 FAMILIES = os.environ.get("MML_BENCH_FAMILIES", "1") not in ("0", "")
+
+
+class Reporter:
+    """Cumulative-emission state shared with the watchdog thread.
+
+    Every completed measurement phase calls :meth:`update`, which rebuilds
+    the headline record from everything measured so far and prints it as one
+    JSON line (marked partial until :meth:`finish`).  ``beat()`` timestamps
+    are what the stall watchdog monitors.
+    """
+
+    def __init__(self):
+        self.detail = {"compute_dtype": DTYPE}
+        self.times = {}          # phase -> seconds (train/eval)
+        self.base = None         # torch-CPU pps
+        self.t0 = time.monotonic()
+        self.last_beat = self.t0
+        self.done = False
+        self._lock = threading.Lock()
+
+    def beat(self, stage: str | None = None):
+        self.last_beat = time.monotonic()
+        if stage:  # phase marker for post-mortems of wedged runs
+            print(f"[bench +{self.last_beat - self.t0:.0f}s] {stage}",
+                  file=sys.stderr, flush=True)
+
+    def _value(self):
+        tt, te = self.times.get("train"), self.times.get("eval")
+        if tt and te:
+            return BATCH * N_STEPS * 2 / (tt + te)
+        if tt:
+            return BATCH * N_STEPS / tt
+        return None
+
+    def record(self) -> dict:
+        value = self._value()
+        detail = dict(self.detail)
+        if self.base:
+            detail["torch_cpu_pps"] = round(self.base, 2)
+        return {"metric": "GBMLGG ROI patches/sec/chip (train+eval)",
+                "value": round(value, 2) if value else None,
+                "unit": "patches/sec",
+                "vs_baseline": (round(value / self.base, 2)
+                                if value and self.base else None),
+                "detail": detail}
+
+    def update(self, partial=True, error=None, **kv):
+        with self._lock:
+            for k, v in kv.items():
+                self.detail[k] = round(v, 2) if isinstance(v, float) else v
+            line = self.record()
+            if partial:
+                line["partial"] = True
+            if error:
+                line["error"] = error
+            print(json.dumps(line), flush=True)
+        self.beat()
+
+    def finish(self):
+        self.done = True
+        self.update(partial=False)
+
+
+def _start_watchdog(rep: Reporter):
+    """Emit the partial record and hard-exit when measurement stalls (a
+    wedged tunnel RPC: no phase completes for MML_BENCH_STALL seconds) or
+    the whole run exceeds MML_BENCH_TIMEOUT.  Runs in a daemon thread —
+    blocking XLA calls can't be interrupted, so bail via ``os._exit`` with
+    the most complete record already on stdout."""
+    stall = float(os.environ.get("MML_BENCH_STALL", "900") or 0)
+    budget = float(os.environ.get("MML_BENCH_TIMEOUT", "1800") or 0)
+    if stall <= 0 and budget <= 0:
+        return
+
+    def run():
+        while not rep.done:
+            time.sleep(10)
+            now = time.monotonic()
+            if rep.done:
+                return
+            if stall > 0 and now - rep.last_beat > stall:
+                rep.update(error=f"no measurement progress for {stall:.0f}s "
+                                 "(device unreachable or compile hung)")
+                os._exit(3)
+            if budget > 0 and now - rep.t0 > budget:
+                rep.update(error=f"bench exceeded {budget:.0f}s budget")
+                os._exit(3)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
 
 
 def _make_batch(rng, views=2, sample_cols=1 + 512, with_mask=False):
@@ -72,7 +178,7 @@ def _stack_batches(rng, **kw):
     return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
 
 
-def bench_jax() -> dict:
+def bench_jax(rep: Reporter) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -95,13 +201,19 @@ def bench_jax() -> dict:
     rng = jax.random.PRNGKey(0)
     sample = {"x_path": jnp.zeros((1, SIZE, SIZE, 3)),
               "x_omic": jnp.zeros((1, 80))}
+    rep.beat("model built; initialising state on device")
     state = init_teacher_state(opt, model, tx, rng, N_DATA, sample)
     train_step_fn = build_teacher_train_step(opt, model, tx)
     eval_step = build_eval_step(opt, model)
+    rep.beat("state initialised; uploading batches")
 
     nprng = np.random.default_rng(0)
     tbatches = jax.device_put(_stack_batches(nprng, views=2))
+    jax.block_until_ready(tbatches)
+    rep.beat("train batches uploaded")
     ebatches = jax.device_put(_stack_batches(nprng, views=1))
+    jax.block_until_ready(ebatches)
+    rep.beat("eval batches uploaded; compiling train chain")
     cw = jnp.asarray(0.1)
 
     def train_chain(state, key, n):
@@ -116,34 +228,47 @@ def bench_jax() -> dict:
                                           jnp.arange(n))
         return state, losses[-1]
 
+    # cost-analysis args as abstract shapes (the live state gets donated by
+    # the chain below); the (second) compile this costs runs AFTER the first
+    # number is out, so a wedge there can't null the record.
+    cost_args = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (state, jax.tree_util.tree_map(lambda x: x[0], tbatches),
+         jax.random.PRNGKey(1), cw))
     train_chain_j = jax.jit(train_chain, static_argnames=("n",),
                             donate_argnums=(0,))
-    # compiled-cost accounting for the MFU report (before any donation).
-    # Lower ONE train step — cost_analysis of a lax.scan counts the body
-    # once, not times the trip count, so the chain is not usable here.
+    state, loss = train_chain_j(state, jax.random.PRNGKey(1), 2)  # compile
+    float(loss)
+    rep.beat("train chain compiled; measuring")
+    train_time = float("inf")
+    for r in range(REPS):
+        k = jax.random.PRNGKey(100 + r)
+        t0 = time.perf_counter()
+        state, loss = train_chain_j(state, k, N_STEPS)
+        float(loss)
+        train_time = min(train_time, time.perf_counter() - t0)
+        rep.beat()
+    rep.times["train"] = train_time
+    rep.update(train_pps=BATCH * N_STEPS / train_time)
+
+    # compiled-cost accounting for the MFU report.  Lower ONE train step —
+    # cost_analysis of a lax.scan counts the body once, not times the trip
+    # count, so the chain is not usable here.
     step_flops = None
     try:
-        one_batch = jax.tree_util.tree_map(lambda x: x[0], tbatches)
-        cost = (train_step_fn
-                .lower(state, one_batch, jax.random.PRNGKey(1), cw)
-                .compile().cost_analysis())
+        cost = (train_step_fn.lower(*cost_args).compile().cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost["flops"])
     except Exception:
         pass
-    state, loss = train_chain_j(state, jax.random.PRNGKey(1), 2)  # compile
-    float(loss)
-    train_time = float("inf")
-    for rep in range(REPS):
-        k = jax.random.PRNGKey(100 + rep)
-        t0 = time.perf_counter()
-        state, loss = train_chain_j(state, k, N_STEPS)
-        float(loss)
-        train_time = min(train_time, time.perf_counter() - t0)
-    train_pps = BATCH * N_STEPS / train_time
-    train_tflops = (step_flops * N_STEPS / train_time / 1e12
-                    if step_flops else None)
+    if step_flops:
+        # MFU vs the v5e bf16 MXU peak (197 TFLOP/s)
+        train_tflops = step_flops * N_STEPS / train_time / 1e12
+        rep.update(train_tflops=train_tflops,
+                   step_gflops=step_flops / 1e9,
+                   mfu_pct_v5e_bf16=100 * train_tflops / 197.0)
+    del cost_args
 
     params, stats = state.params["model"], state.batch_stats
 
@@ -160,21 +285,20 @@ def bench_jax() -> dict:
 
     eval_chain_j = jax.jit(eval_chain, static_argnames=("n",))
     float(eval_chain_j(params, stats, jnp.asarray(0.0), 2))  # compile
+    rep.beat("eval chain compiled; measuring")
     eval_time = float("inf")
-    for rep in range(REPS):
-        tok = jnp.asarray((rep + 1) * 1e-9)
+    for r in range(REPS):
+        tok = jnp.asarray((r + 1) * 1e-9)
         t0 = time.perf_counter()
         float(eval_chain_j(params, stats, tok, N_STEPS))
         eval_time = min(eval_time, time.perf_counter() - t0)
-    eval_pps = BATCH * N_STEPS / eval_time
-
-    combined = 2 * BATCH * N_STEPS / (train_time + eval_time)
-    return {"train_pps": train_pps, "eval_pps": eval_pps,
-            "combined_pps": combined, "train_tflops": train_tflops,
-            "step_gflops": step_flops / 1e9 if step_flops else None}
+        rep.beat()
+    rep.times["eval"] = eval_time
+    rep.update(eval_pps=BATCH * N_STEPS / eval_time)
 
 
-def _chain_pps(step_fn, state, batches, extra, n_steps, reps=3):
+def _chain_pps(step_fn, state, batches, extra, n_steps, reps=3,
+               reporter=None):
     """Best-of-reps patches/sec for one jitted train-step family, measured
     as a single in-jit lax.scan chain synced by a value fetch (see module
     docstring for why)."""
@@ -197,9 +321,11 @@ def _chain_pps(step_fn, state, batches, extra, n_steps, reps=3):
     state, loss = chain_j(state, jax.random.PRNGKey(1), 2)  # compile
     float(loss)
     best = float("inf")
-    for rep in range(reps):
+    for r in range(reps):
+        if reporter is not None:
+            reporter.beat()
         t0 = time.perf_counter()
-        state, loss = chain_j(state, jax.random.PRNGKey(100 + rep), n_steps)
+        state, loss = chain_j(state, jax.random.PRNGKey(100 + r), n_steps)
         float(loss)
         best = min(best, time.perf_counter() - t0)
     return BATCH * n_steps / best
@@ -314,21 +440,28 @@ def build_family(which: str):
     raise ValueError(f"unknown family {which!r}")
 
 
-def bench_families(n_steps=50) -> dict:
+def bench_families(rep: Reporter, n_steps=50) -> None:
     # >=50 steps best-of-3 per family: against the tunnel's documented
     # ~1.6x contention swings, 30-step best-of-2 could hide sub-40%
     # regressions (VERDICT r2 #8)
     """Throughput of the other jitted step families at paper dims, so kernel
     regressions in the complex t-SVT SVD, the saliency segment_sum, and the
-    CRD-v3 bank select/scatter + AEKD vjp pulls show up in BENCH_r*.json."""
+    CRD-v3 bank select/scatter + AEKD vjp pulls show up in BENCH_r*.json.
+
+    Each family's number is emitted as soon as it is measured ("masked"
+    first — it certifies the round-3 step restructure); a per-family failure
+    or a watchdog bail degrades the record instead of nulling it."""
     import jax
 
-    out = {}
-    for which in ("tsvd", "masked", "student", "clat"):
-        step, state, b, extra = build_family(which)
-        out[f"{which}_pps"] = _chain_pps(step, state, jax.device_put(b),
-                                         extra, n_steps)
-    return out
+    for which in ("masked", "tsvd", "student", "clat"):
+        try:
+            step, state, b, extra = build_family(which)
+            rep.beat(f"family {which} built; uploading + compiling")
+            pps = _chain_pps(step, state, jax.device_put(b), extra,
+                             n_steps, reporter=rep)
+            rep.update(**{f"{which}_pps": pps})
+        except Exception as exc:  # a family regression must not kill bench
+            rep.update(**{f"{which}_error": repr(exc)[:200]})
 
 
 def bench_torch_cpu() -> float:
@@ -427,61 +560,37 @@ def bench_torch_cpu() -> float:
     return pps
 
 
-def _arm_watchdog():
-    """The dev rig's TPU tunnel can wedge on connect (CLAUDE.md); a hung
-    bench would stall the round driver, so after MML_BENCH_TIMEOUT seconds
-    (default 30 min, 0 disables) emit the one JSON line with an error and
-    hard-exit — blocking XLA calls can't be interrupted any other way."""
-    limit = float(os.environ.get("MML_BENCH_TIMEOUT", "1800") or 0)
-    if limit <= 0:
-        return
-    import threading
+def main():
+    rep = Reporter()
+    _start_watchdog(rep)
 
-    def fire():
-        print(json.dumps({
-            "metric": "GBMLGG ROI patches/sec/chip (train+eval)",
-            "value": None, "unit": "patches/sec", "vs_baseline": None,
-            "error": f"bench timed out after {limit:.0f}s "
-                     "(device unreachable or compile hung)"}), flush=True)
+    def on_term(signum, frame):  # driver's `timeout` — best-effort partial
+        rep.update(error="SIGTERM (external timeout)")
         os._exit(3)
 
-    t = threading.Timer(limit, fire)
-    t.daemon = True
-    t.start()
-
-
-def main():
-    _arm_watchdog()
-    res = bench_jax()
-    fam = {}
-    if FAMILIES:
-        try:
-            fam = bench_families()
-        except Exception as exc:  # a family regression must not kill bench
-            fam = {"families_error": repr(exc)[:200]}
     try:
-        base = bench_torch_cpu()
-    except Exception:
-        base = None
-    value = res["combined_pps"]
-    detail = {"train_pps": round(res["train_pps"], 2),
-              "eval_pps": round(res["eval_pps"], 2),
-              "torch_cpu_pps": round(base, 2) if base else None,
-              "compute_dtype": DTYPE}
-    if res.get("train_tflops"):
-        # MFU vs the v5e bf16 MXU peak (197 TFLOP/s); flops from the
-        # compiled HLO cost model of the full train step
-        detail["train_tflops"] = round(res["train_tflops"], 2)
-        detail["step_gflops"] = round(res["step_gflops"], 1)
-        detail["mfu_pct_v5e_bf16"] = round(
-            100 * res["train_tflops"] / 197.0, 2)
-    for k, v in fam.items():
-        detail[k] = round(v, 2) if isinstance(v, float) else v
-    out = {"metric": "GBMLGG ROI patches/sec/chip (train+eval)",
-           "value": round(value, 2), "unit": "patches/sec",
-           "vs_baseline": round(value / base, 2) if base else None,
-           "detail": detail}
-    print(json.dumps(out))
+        signal.signal(signal.SIGTERM, on_term)
+    except (ValueError, OSError):
+        pass
+
+    # torch-CPU baseline: instant when cached (checked-in rigs keep
+    # .bench_baseline.json); otherwise measured at the END so a ~1 min CPU
+    # run can't delay the first TPU number.
+    if os.path.exists(CACHE):
+        try:
+            rep.base = bench_torch_cpu()
+        except Exception:
+            pass
+
+    bench_jax(rep)
+    if FAMILIES:
+        bench_families(rep)
+    if rep.base is None:
+        try:
+            rep.base = bench_torch_cpu()
+        except Exception:
+            pass
+    rep.finish()
 
 
 if __name__ == "__main__":

@@ -65,6 +65,9 @@ def _load_images(paths, s: int) -> np.ndarray:
 def _load_omic(csv_path: str, files, d: int) -> np.ndarray:
     import pandas as pd
     df = pd.read_csv(csv_path)
+    if len(df) == 0:  # header-only CSV (0-row dtypes also defeat key sniff)
+        raise ValueError(f"no input rows to predict on: {csv_path} has a "
+                         "header but no data rows")
     first = df.columns[0]
     if not pd.api.types.is_numeric_dtype(df[first]):  # filename-keyed
         key = {os.path.basename(str(k)): i
@@ -79,11 +82,13 @@ def _load_omic(csv_path: str, files, d: int) -> np.ndarray:
         omic = np.stack(rows)
     else:
         omic = df.to_numpy(np.float32)
-        if files is not None and len(omic) < len(files):
-            raise ValueError(f"omic csv has {len(omic)} rows for "
-                             f"{len(files)} images")
-        if files is not None:
-            omic = omic[:len(files)]
+        if files is not None and len(omic) != len(files):
+            # a longer CSV silently truncated would mispair rows with the
+            # sorted-basename image order — refuse, point at keyed mode
+            raise ValueError(
+                f"omic csv has {len(omic)} rows for {len(files)} images; "
+                "positional pairing requires an exact match (use a "
+                "filename-keyed first column to pair by name)")
     if omic.shape[1] != d:
         raise ValueError(f"omic csv has {omic.shape[1]} feature columns; "
                          f"the artifact expects {d}")
@@ -93,6 +98,9 @@ def _load_omic(csv_path: str, files, d: int) -> np.ndarray:
 def _batched(fn, x_path, x_omic, fixed_b, chunk):
     """Run fn over slices; pad the ragged tail for fixed-shape artifacts."""
     n = len(x_path)
+    if n == 0:  # e.g. a mode=omic artifact fed a header-only --omic_csv
+        raise ValueError("no input rows to predict on (empty image list / "
+                         "omic csv)")
     b = fixed_b or chunk
     outs = []
     for lo in range(0, n, b):

@@ -132,9 +132,11 @@ def get_clean_kirc(dataroot: str = "./", rnaseq_cutoff="all",
       raises whenever any ``muts/*.tsv`` exists; the evident intent is
       stripping the ``-0X`` sample suffix to a Patient ID —
       ``index.str[:-3]`` here.
-    - mutation gene names: ``'VHL.tsv'.rstrip('.tsv')`` (``:159``) strips
-      a character *class* (mangling genes ending in t/s/v — ``MET.tsv``
-      -> ``ME``); here the ``.tsv`` suffix is removed.
+    - mutation gene names: the reference's ``.rstrip('.tsv')`` (``:159``)
+      strips a character *class*, not a suffix — a theoretical hazard for
+      gene names ending in lowercase t/s/v/'.' (``rstrip`` is
+      case-sensitive, so the usual uppercase symbols like ``MET`` are in
+      practice unaffected); here the exact ``.tsv`` suffix is removed.
     - ``muts/`` files are visited in sorted order (the reference's
       ``os.listdir`` order is filesystem-dependent).
     """
@@ -176,7 +178,9 @@ def get_clean_kirc(dataroot: str = "./", rnaseq_cutoff="all",
         if tsv.endswith(".tsv"):
             samples = pd.read_table(
                 os.path.join(muts_dir, tsv))["Patient ID"]
-            gene = tsv.split("_")[2][:-len(".tsv")] + "_mut"
+            # strip the suffix from the whole filename BEFORE splitting so
+            # >3-field names (mutated_samples_GENE_v2.tsv) keep their gene
+            gene = tsv[:-len(".tsv")].split("_", 2)[2] + "_mut"
             mut[gene] = 0
             mut.loc[mut.index.str[:-3].isin(samples), gene] = 1
     mut = mut.drop(["Patient ID"], axis=1)

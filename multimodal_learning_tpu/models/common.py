@@ -140,7 +140,7 @@ def apply_act(act_type: str, hazard: jnp.ndarray) -> jnp.ndarray:
 
 
 def count_parameters(params) -> int:
-    """Total trainable parameter count (``utils.py:360-363``
+    """Total trainable parameter count (``utils.py:542-543``
     ``count_parameters``; printed at setup by every reference driver, e.g.
     ``train_test_MT.py:96``).  All params in the tree are trainable here —
     freezing is an optimizer mask (``train/freeze.py``), not a tree prune."""

@@ -93,6 +93,7 @@ def test_assign_sample_weights_semantics():
     assert float(w2[0]) == 0.0
 
 
+@pytest.mark.smoke
 def test_clat_two_stage_end_to_end(tmp_path):
     """BASELINE config 5: stage-1 masked teacher -> stage-2 CLAT student."""
     from multimodal_learning_tpu.config import Options

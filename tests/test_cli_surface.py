@@ -10,6 +10,8 @@ import pytest
 
 from multimodal_learning_tpu.config import Options, parse_args
 
+pytestmark = pytest.mark.smoke
+
 
 def _parse(cmd: str) -> Options:
     return parse_args(shlex.split(cmd), save=False)

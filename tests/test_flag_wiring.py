@@ -158,6 +158,7 @@ def test_teacher_bn_modes_run(rng, mode):
 # ---------------------------------------------------------------- round 3
 
 
+@pytest.mark.smoke
 def test_options_closure():
     """Every Options field is either consumed somewhere in the package or
     registered in DEAD_FLAGS with a reason (VERDICT r2 #4: no flag may

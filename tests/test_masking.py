@@ -37,6 +37,7 @@ def test_superpixel_mask_selects_salient_segments():
     assert float(np.asarray(om).sum()) == B  # exactly one feature per sample
 
 
+@pytest.mark.smoke
 def test_stage1_masking_training_runs(tmp_path):
     """BASELINE config 5 stage 1: masked teacher end-to-end."""
     from multimodal_learning_tpu.config import Options

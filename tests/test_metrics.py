@@ -8,6 +8,8 @@ from multimodal_learning_tpu.eval.metrics import (accuracy_cox,
                                                   extended_grading_metrics,
                                                   grading_metrics, one_hot)
 
+pytestmark = pytest.mark.smoke
+
 
 def _brute_cindex(t, s, e):
     """Literal definition: admissible pairs + tie credits (lifelines)."""

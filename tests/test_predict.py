@@ -29,10 +29,16 @@ def _opt(**kw):
 
 def _export(opt, tmp_path, batch_size, seed=0):
     model = define_model(opt)
-    v = model.init({"params": jax.random.PRNGKey(seed),
-                    "dropout": jax.random.PRNGKey(seed)},
-                   x_path=jnp.zeros((1, SIZE, SIZE, 3)),
-                   x_omic=jnp.zeros((1, opt.input_size_omic)), train=False)
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed)}
+    if opt.mode == "pathomic":
+        v = model.init(rngs, x_path=jnp.zeros((1, SIZE, SIZE, 3)),
+                       x_omic=jnp.zeros((1, opt.input_size_omic)),
+                       train=False)
+    else:  # unimodal models take one positional input (train/steps.py:_apply)
+        x = (jnp.zeros((1, SIZE, SIZE, 3)) if opt.mode == "path"
+             else jnp.zeros((1, opt.input_size_omic)))
+        v = model.init(rngs, x, train=False)
     params, stats = v["params"], v.get("batch_stats", {})
     blob, outs = export_infer(opt, model, params, stats, batch_size)
     path = os.path.join(str(tmp_path), "m_1.stablehlo")
@@ -136,3 +142,34 @@ def test_predict_dynamic_artifact_chunks(tmp_path):
     for k in want:
         np.testing.assert_allclose(res[k], np.asarray(want[k]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_predict_rejects_mismatched_positional_csv(tmp_path):
+    """A positional CSV with more rows than images must refuse (silent
+    truncation would mispair omic rows with the sorted image order)."""
+    import pytest
+
+    from multimodal_learning_tpu.cli import predict
+
+    opt = _opt()
+    art, _ = _export(opt, tmp_path, 4, seed=5)
+    files = _write_images(tmp_path, n=3)
+    rng = np.random.default_rng(6)
+    csv = _write_csv(tmp_path, rng.normal(size=(5, 80)).astype(np.float32))
+    with pytest.raises(ValueError, match="positional pairing"):
+        predict.main(["--artifact", art, "--images", *files,
+                      "--omic_csv", csv, "--quiet"])
+
+
+def test_predict_rejects_empty_input(tmp_path):
+    """A mode=omic artifact fed a header-only CSV passes the arg checks
+    with n=0 — must fail with a clear 'no input rows' error."""
+    import pytest
+
+    from multimodal_learning_tpu.cli import predict
+
+    opt = _opt(mode="omic")
+    art, _ = _export(opt, tmp_path, 4, seed=7)
+    csv = _write_csv(tmp_path, np.zeros((0, 80), np.float32))
+    with pytest.raises(ValueError, match="no input rows"):
+        predict.main(["--artifact", art, "--omic_csv", csv, "--quiet"])

@@ -39,6 +39,8 @@ torch = pytest.importorskip("torch")
 from multimodal_learning_tpu.contrast.crd import (  # noqa: E402
     CRDBank, contrast_loss, crd_scores, crd_scores_select, init_bank)
 
+pytestmark = pytest.mark.smoke
+
 MICCAI = "/root/reference/MICCAI-2022"
 MIA22 = "/root/reference/MIA 2022"
 

@@ -19,6 +19,8 @@ torch = pytest.importorskip("torch")
 from multimodal_learning_tpu.losses.orth import orth_loss  # noqa: E402
 from multimodal_learning_tpu.losses.supcon import supcon_loss  # noqa: E402
 
+pytestmark = pytest.mark.smoke
+
 MIA22 = "/root/reference/MIA 2022"
 
 

@@ -195,7 +195,9 @@ def test_get_clean_kirc_fixes_reference_mut_crash(tmp_path, ref_utils_data):
     """The reference raises on ANY muts/*.tsv (``mut.index[:-3]`` is a
     positional slice -> boolean mask 3 short of the frame); ours strips the
     sample suffix as intended and keeps full gene names (the reference's
-    ``rstrip('.tsv')`` would mangle MET -> ME)."""
+    ``rstrip('.tsv')`` strips a char class — harmless for uppercase symbols
+    like MET since rstrip is case-sensitive, but a hazard for names ending
+    in lowercase t/s/v/'.'; ours removes the exact suffix)."""
     from multimodal_learning_tpu.data.tcga import get_clean_kirc
 
     samples, patients = _fabricate_kirc(tmp_path)

@@ -67,6 +67,7 @@ def test_momentum_aekd_scale(rng):
     np.testing.assert_allclose(np.asarray(w2), [1.5, 0.75, 1.5])
 
 
+@pytest.mark.smoke
 def test_student_stage_end_to_end(tmp_path):
     """Teacher 1 epoch -> frozen load -> student 2 epochs with CRD v3 + AEKD."""
     from multimodal_learning_tpu.config import Options

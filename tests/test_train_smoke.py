@@ -6,6 +6,8 @@ from multimodal_learning_tpu.config import Options
 from multimodal_learning_tpu.data import make_synthetic_splits
 from multimodal_learning_tpu.train.loop import train_teacher
 
+pytestmark = pytest.mark.smoke
+
 
 def _base_opt(**kw):
     defaults = dict(

@@ -77,6 +77,7 @@ def test_view_sets_shapes(rng):
         assert len(f1) == v and len(f2) == v
 
 
+@pytest.mark.smoke
 def test_tsvd_training_runs(tmp_path):
     """BASELINE config 4 shape: M3LR teacher one epoch end-to-end."""
     from multimodal_learning_tpu.config import Options
