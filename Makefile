@@ -23,7 +23,16 @@ test:
 smoke:
 	python -m pytest tests/ -m smoke -x -q
 
+# one-command synthetic CV sweep: all five BASELINE configs through the
+# real CLIs (teacher -> export -> student handoffs included) + patient-level
+# aggregation; writes SWEEP_REPORT.md.  FOLDS=15 reproduces the reference's
+# 15-fold protocol shape.
+FOLDS ?= 3
+sweep_synthetic:
+	MML_PLATFORM=cpu python -m multimodal_learning_tpu.cli.sweep \
+	  --folds $(FOLDS) --out_dir /tmp/mml_sweep --report SWEEP_REPORT.md
+
 clean:
 	rm -f $(NATIVE)
 
-.PHONY: all native test smoke clean
+.PHONY: all native test smoke sweep_synthetic clean

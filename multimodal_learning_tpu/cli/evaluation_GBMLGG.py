@@ -20,7 +20,10 @@ def main(argv=None):
     opt = parse_args(argv)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
     folds = {}
-    for k in range(1, 6):
+    # the reference's grading protocol is 5 folds (range(1,6),
+    # evaluation_GBMLGG.py:66) and survival 15 (:30); load whatever fold
+    # pickles exist in the superset so cli.sweep's 15-fold runs aggregate
+    for k in range(1, 16):
         path = os.path.join(ckpt_dir, f"{opt.model_name}_{k}_pred_test.pkl")
         if os.path.exists(path):
             folds[k] = load_pred_test(path)

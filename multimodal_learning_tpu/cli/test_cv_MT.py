@@ -57,6 +57,7 @@ def main(argv=None):
         # same shape as the train drivers so checkpoints trained with
         # --synthetic_data evaluate on the identical fabricated split
         data = make_synthetic_splits(n_train=64, n_test=32,
+                                     n_folds=opt.synthetic_folds,
                                      roi_size=max(64, opt.input_size_path),
                                      seed=opt.seed)
     else:

@@ -37,6 +37,7 @@ def main(argv=None):
     opt = parse_args(argv)
     if opt.synthetic_data:
         data = make_synthetic_splits(n_train=64, n_test=32,
+                                     n_folds=opt.synthetic_folds,
                                      roi_size=max(64, opt.input_size_path),
                                      seed=opt.seed)
         patches = None

@@ -243,6 +243,9 @@ class Options:
     #                                        currently larger receives the
     #                                        CRD gradient
     synthetic_data: bool = False           # fabricate a miniature dataset (tests)
+    synthetic_folds: int = 1               # folds in the fabricated split dict
+    #                                        (cli.sweep runs the reference's
+    #                                        15-fold protocol synthetically)
     resume: bool = False                   # resume a fold from its latest
     #                                        epoch snapshot (the reference has
     #                                        no mid-fold resume — SURVEY §5)

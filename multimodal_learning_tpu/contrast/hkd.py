@@ -78,15 +78,18 @@ def knn_adjacency(logits: jnp.ndarray, k: int = KNN) -> jnp.ndarray:
 
 class TAGEncoder(nn.Module):
     """Dense TAGConv(k=1) + l2norm (``GNN.py:198-207``):
-    ``h' = W0 h + W1 (D^-1/2 A D^-1/2 h)``."""
+    ``h' = W0 h + W1 (D^-1/2 A D^-1/2 h)`` where ``D`` is the IN-degree
+    diagonal on BOTH sides — dgl's TAGConv computes one
+    ``in_degrees()**-0.5`` vector and applies it before and after the
+    aggregation (its published ``tagconv.py`` forward), it does not
+    symmetrise with the out-degree."""
     feat_dim: int = 128
 
     @nn.compact
     def __call__(self, adj, h):
-        d_out = jnp.maximum(adj.sum(1, keepdims=True), 1.0)  # in-degree rows
-        d_in = jnp.maximum(adj.sum(0, keepdims=True), 1.0)
-        norm_adj = adj / jnp.sqrt(d_out) / jnp.sqrt(d_in)
-        h1 = norm_adj @ h
+        # rows of adj are destinations: adj.sum(1) is the in-degree
+        norm = jax.lax.rsqrt(jnp.maximum(adj.sum(1, keepdims=True), 1.0))
+        h1 = norm * (adj @ (norm * h))
         out = (nn.Dense(self.feat_dim, kernel_init=torch_linear_default,
                         bias_init=torch_linear_bias(h.shape[-1]),
                         name="w0")(h)
