@@ -32,12 +32,16 @@ def main(argv=None) -> int:
     ap.add_argument("--prefix", default="",
                     help="state_dict key prefix to convert under "
                          "(e.g. 'path_net.')")
+    ap.add_argument("--state_key", default="model_state_dict",
+                    help="which state dict to extract from a released "
+                         "wrapper checkpoint (model_state_dict or "
+                         "ema_model_state_dict; train_cv_MT.py:119-130)")
     args = ap.parse_args(argv)
 
     from ..models.import_torch import (convert_pathomic, convert_resnet18,
                                        flatten_tree, load_torch_state_dict,
                                        save_pretrained_npz)
-    sd = load_torch_state_dict(args.src)
+    sd = load_torch_state_dict(args.src, state_key=args.state_key)
     if args.arch == "pathomic":
         params, stats = convert_pathomic(sd)
     else:

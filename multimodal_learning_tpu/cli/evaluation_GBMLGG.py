@@ -20,13 +20,21 @@ def main(argv=None):
     opt = parse_args(argv)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.exp_name, opt.model_name)
     folds = {}
-    # the reference's grading protocol is 5 folds (range(1,6),
-    # evaluation_GBMLGG.py:66) and survival 15 (:30); load whatever fold
-    # pickles exist in the superset so cli.sweep's 15-fold runs aggregate
-    for k in range(1, 16):
+    # Scan exactly the protocol's fold set — grading is 5 folds
+    # (reference evaluation_GBMLGG.py:66, range(1,6)), survival 15 (:30),
+    # and synthetic sweeps declare their own count — so stale pickles from
+    # an earlier higher-fold run under the same model_name can't silently
+    # mix into the patient-level aggregation (advisor r4).
+    if opt.synthetic_data or opt.synthetic_folds > 1:
+        n_expected = opt.synthetic_folds
+    else:
+        n_expected = 15 if opt.task == "surv" else 5
+    for k in range(1, n_expected + 1):
         path = os.path.join(ckpt_dir, f"{opt.model_name}_{k}_pred_test.pkl")
         if os.path.exists(path):
             folds[k] = load_pred_test(path)
+    print(f"aggregating folds {sorted(folds)} of expected "
+          f"1..{n_expected} under {ckpt_dir}")
     if not folds:
         print(f"no prediction pickles under {ckpt_dir}")
         return None

@@ -205,12 +205,14 @@ def apply_pretrained(opt, params: Dict, batch_stats: Dict, log=None
     src_params, src_stats = load_pretrained_npz(opt.pretrained_path)
     params = dict(params)
     batch_stats = dict(batch_stats)
-    if "path_net" in params:  # pathomic container
+    if "path_net" in params and "path_net" not in src_params:
+        # ResNet18-only npz into a pathomic container: land under path_net
         params["path_net"], n_p = merge_pretrained(
             params["path_net"], src_params)
         batch_stats["path_net"], n_s = merge_pretrained(
             batch_stats.get("path_net", {}), src_stats)
-    else:  # path-only ResNet student/teacher
+    else:  # path-only ResNet, or a full pathomic npz (--arch pathomic from
+        # a released checkpoint) into a pathomic container: merge at root
         params, n_p = merge_pretrained(params, src_params)
         batch_stats, n_s = merge_pretrained(batch_stats, src_stats)
     if n_p == 0:
@@ -224,10 +226,22 @@ def apply_pretrained(opt, params: Dict, batch_stats: Dict, log=None
     return params, batch_stats
 
 
-def load_torch_state_dict(path: str) -> Dict:
-    """Load a .pt/.pth file into {name: numpy} (CPU, no grad)."""
+def load_torch_state_dict(path: str, state_key: str = "model_state_dict"
+                          ) -> Dict:
+    """Load a .pt/.pth file into {name: numpy} (CPU, no grad).
+
+    Released reference checkpoints are wrapper dicts
+    ``{split, opt, epoch, data, model_state_dict, ema_model_state_dict,
+    optimizer_state_dict, metrics}`` (``MICCAI-2022/train_cv_MT.py:119-130``);
+    ``state_key`` picks which state dict to extract (the reference's own
+    eval loads ``model_state_dict``, ``test_cv_MT.py:58``).  A bare
+    state_dict file (torchvision ImageNet weights) passes through as-is."""
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    sd = obj.get("model_state_dict", obj) if isinstance(obj, dict) else obj
+    if isinstance(obj, dict) and state_key != "model_state_dict" \
+            and state_key not in obj:
+        raise KeyError(f"{path}: no {state_key!r} in checkpoint "
+                       f"(keys: {sorted(obj)[:12]})")
+    sd = obj.get(state_key, obj) if isinstance(obj, dict) else obj
     return {k: v.detach().cpu().numpy() for k, v in sd.items()
             if hasattr(v, "detach")}

@@ -18,6 +18,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache (shared with __graft_entry__): test programs
+# are deterministic, so repeat suite runs — and the sharded serial runs used
+# on 1-core rigs (tools/run_suite.py) — replay compiles from disk.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _knob, _value in (
+        ("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")),
+        ("jax_persistent_cache_min_compile_time_secs", 0.5),
+        ("jax_persistent_cache_min_entry_size_bytes", 0)):
+    try:
+        jax.config.update(_knob, _value)
+    except Exception:
+        pass
 assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
 assert jax.device_count() == 8
 

@@ -77,3 +77,30 @@ def test_watchdog_abort_then_success(graft, tmp_path):
         "    os.abort()\n"))
     graft._run_dryrun_child(8, attempts=3, code=code)
     assert _attempts(cnt) == 2
+
+
+def test_aot_cache_death_retried_once_without_cache(graft, tmp_path):
+    """A signal death after cpu_aot_loader activity (a possibly-poisoned
+    cross-host persistent-cache entry) is retried once with
+    MML_NO_COMPILE_CACHE=1; success on the cacheless attempt."""
+    cnt, code = _counting(tmp_path, (
+        "import sys\n"
+        "if os.environ.get('MML_NO_COMPILE_CACHE') != '1':\n"
+        "    print('E0101 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+        "result.', file=sys.stderr, flush=True)\n"
+        "    os.abort()\n"))
+    graft._run_dryrun_child(8, attempts=3, code=code)
+    assert _attempts(cnt) == 2
+
+
+def test_aot_cache_death_reproducing_without_cache_fails(graft, tmp_path):
+    """If the crash reproduces WITHOUT the cache, it is reported as a
+    deterministic crash (one cacheless retry, then fail)."""
+    cnt, code = _counting(tmp_path, (
+        "import sys\n"
+        "print('E0101 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result.',"
+        " file=sys.stderr, flush=True)\n"
+        "os.abort()\n"))
+    with pytest.raises(RuntimeError, match="no XLA-watchdog signature"):
+        graft._run_dryrun_child(8, attempts=3, code=code)
+    assert _attempts(cnt) == 2

@@ -52,7 +52,19 @@ K = 8  # nce_k
 
 
 class _StubDGLGraph:
-    """Old-dgl ``DGLGraph(adj, readonly=True)``: rows=dst, cols=src."""
+    """Old-dgl ``DGLGraph(adj, readonly=True)``: rows=dst, cols=src.
+
+    UNVERIFIED ASSUMPTION (advisor r4): the row=dst reading of the csr
+    adjacency is asserted, not pinned against real dgl — dgl is not
+    installed in this image and SNIPPETS.md carries no TAGConv source.  If
+    legacy dgl actually built edges row->col (row=src), both the message
+    direction and the in-degrees here are transposed, and this stub would
+    pass anyway because ``contrast/hkd.py`` encodes the same reading.  The
+    kNN graph is built from a *symmetrised* cosine-similarity relation in
+    practice only when mutual-neighbour pairs dominate, so the two readings
+    are NOT generally equivalent.  If dgl ever becomes installable, pin one
+    saved ``TAGConv`` forward on a fixed asymmetric graph and delete this
+    caveat."""
 
     def __init__(self, adj, readonly=True):
         a = np.asarray(adj.todense(), np.float32)
