@@ -51,6 +51,16 @@ def make_infer_fn(opt, model, params, batch_stats) -> Callable:
             "(data_loaders_MT.py:112-119 parity); the exported artifact is "
             "deterministic and would not match the reported eval numbers. "
             "Export with test_augment=False.")
+    if getattr(model, "pallas_fusion", "off") != "off":
+        # The artifact declares platforms ("cpu", "tpu"); a TPU Pallas
+        # custom call in the traced forward makes the CPU lowering fail at
+        # export time ("Only interpret mode is supported on CPU backend").
+        # Serve through the einsum path instead: _KronEncoder1 owns the
+        # identical kernel/bias params either way (models/fusion.py:93),
+        # so the same params apply and the math is exact.
+        from ..models.factory import define_model
+        opt = dataclasses.replace(opt, pallas_fusion="off")
+        model = define_model(opt)
     dt = _dtype(opt)
 
     def infer(x_path, x_omic):

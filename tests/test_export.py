@@ -185,3 +185,33 @@ def test_export_dynamic_batch_serves_any_size():
             np.testing.assert_allclose(np.asarray(served[k]),
                                        np.asarray(want[k]),
                                        rtol=1e-6, atol=1e-6)
+
+
+def test_export_pallas_recipe_stays_cross_platform(monkeypatch):
+    """A pallas_fusion recipe (recipes/baseline.py sets "train"; bench uses
+    it) must still export a ("cpu","tpu") artifact: the TPU Pallas kron
+    kernel cannot lower for the CPU platform, so export_infer reroutes the
+    forward through the einsum path — identical params, exact math.
+
+    MML_PALLAS_FORCE=1 makes _KronEncoder1._pallas_ok() return True on the
+    CPU backend, reproducing what the TPU default backend sees at bench
+    time (bench_serve hit exactly this: "Only interpret mode is supported
+    on CPU backend")."""
+    opt = _opt(pallas_fusion="train")
+    model = define_model(opt)
+    # init before forcing: _KronEncoder1 owns the same kernel/bias params on
+    # both paths, and the pallas path cannot RUN on this CPU backend.
+    params, stats = _init(opt, model, jax.random.PRNGKey(3))
+    x_path, x_omic = _inputs(3)
+
+    monkeypatch.setenv("MML_PALLAS_FORCE", "1")
+    blob, outputs = export_infer(opt, model, params, stats, BATCH)
+    served = load_exported(blob)(x_path, x_omic)
+
+    opt_off = _opt(pallas_fusion="off")
+    want = jax.jit(make_infer_fn(opt_off, define_model(opt_off), params,
+                                 stats))(x_path, x_omic)
+    assert set(served) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(served[k]),
+                                      np.asarray(want[k]))
