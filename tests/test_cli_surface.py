@@ -4,6 +4,7 @@ Commands taken verbatim from ``MICCAI-2022/README.md:26-33``,
 ``MIA 2022/train.sh`` and ``MIA 2023/stage2_unimodal_student/
 train_20230805.sh`` (flags only; the driver module differs by design).
 """
+import os
 import shlex
 
 import pytest
@@ -81,3 +82,20 @@ def test_string_booleans():
     opt = _parse("--tSVD_loss False --orth_loss True --sample_KD True")
     assert opt.tSVD_loss is False and opt.orth_loss is True
     assert opt.sample_KD is True
+
+
+def test_platform_override_points_cache_at_repo(monkeypatch):
+    # CPU CLI drives reuse the repo-local persistent compilation cache
+    # (tests/conftest.py and __graft_entry__ point at the same dir), so a
+    # repeat sweep/verify run skips recompiles; TPU drives stay uncached
+    # (no stale-AOT retry outside __graft_entry__).
+    import jax
+
+    from multimodal_learning_tpu.cli._platform import (
+        _REPO, apply_platform_override)
+
+    monkeypatch.setenv("MML_PLATFORM", "cpu")
+    monkeypatch.delenv("MML_NO_COMPILE_CACHE", raising=False)
+    apply_platform_override()
+    assert jax.config.jax_compilation_cache_dir == os.path.join(
+        _REPO, ".jax_cache")
