@@ -99,3 +99,39 @@ def test_platform_override_points_cache_at_repo(monkeypatch):
     apply_platform_override()
     assert jax.config.jax_compilation_cache_dir == os.path.join(
         _REPO, ".jax_cache")
+
+
+def test_evaluation_fold_scan_bounded_by_protocol(tmp_path, capsys):
+    # Stale pickles from an earlier higher-fold run under the same
+    # model_name must not silently mix into the patient-level aggregation
+    # (advisor r4): the scan is bounded by the protocol's fold set —
+    # synthetic_folds when set, else 5 for grading / 15 for survival
+    # (reference evaluation_GBMLGG.py:66 / :30).
+    import numpy as np
+
+    from multimodal_learning_tpu.cli import evaluation_GBMLGG
+    from multimodal_learning_tpu.eval.analysis import save_pred_test
+
+    rng = np.random.default_rng(0)
+    ckpt = tmp_path / "grad_15" / "m"
+    ckpt.mkdir(parents=True)
+    for k in range(1, 8):  # folds 6-7 simulate stale leftovers
+        save_pred_test(str(ckpt / f"m_{k}_pred_test.pkl"),
+                       {"pred_test": None,
+                        "probs": {"path": rng.dirichlet(np.ones(3), size=8)},
+                        "gt": rng.integers(0, 3, 8),
+                        "patnames": [f"p{i // 2}" for i in range(8)]})
+
+    base = ["--checkpoints_dir", str(tmp_path), "--exp_name", "grad_15",
+            "--model_name", "m"]
+    res = evaluation_GBMLGG.main(base + ["--task", "grad",
+                                         "--synthetic_folds", "5"])
+    out = capsys.readouterr().out
+    assert "aggregating folds [1, 2, 3, 4, 5] of expected 1..5" in out
+    assert ("path", "max") in res and ("fuse", "max") not in res
+
+    # survival protocol scans 1..15 and therefore picks up all 7
+    evaluation_GBMLGG.main(base + ["--task", "surv"])
+    out = capsys.readouterr().out
+    assert "of expected 1..15" in out
+    assert "aggregating folds [1, 2, 3, 4, 5, 6, 7]" in out
