@@ -1,4 +1,6 @@
-"""Optional platform override for the CLI drivers.
+"""Optional platform override for the CLI drivers (TPU-build addition;
+the reference has no backend switch — it hardcodes `.cuda()`,
+``MICCAI-2022/train_test_MT.py:53``).
 
 ``MML_PLATFORM=cpu`` forces the JAX backend (useful on dev rigs where the TPU
 tunnel is shared/flaky, and for CI).  Must be imported before any jax use.
